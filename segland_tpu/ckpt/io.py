@@ -1,0 +1,84 @@
+"""Checkpoint save/restore (replaces torch.save/load_model,
+reference train_base.py:286-311 + utils/pyt_utils.py:86-135).
+
+Format: msgpack via flax.serialization — single file per checkpoint,
+host-portable, no directory protocol.  Resume-by-epoch mirrors the
+reference's ``epoch_<n>.pth`` / ``best.pth`` naming with ``.ckpt``.
+"""
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import flax
+from flax import serialization
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_params(path: str, variables: dict):
+    """Save {'params': ..., 'batch_stats': ...} variables."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(_to_host(variables)))
+
+
+def load_params(path: str, template: dict) -> dict:
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def save_checkpoint(path: str, state, extra: Optional[dict] = None):
+    """Full train-state checkpoint (params + opt state + batch stats + step)."""
+    payload = {
+        "state": serialization.to_state_dict(
+            _to_host(
+                {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state,
+                    "step": state.step,
+                    "epoch": state.epoch,
+                }
+            )
+        ),
+        "extra": extra or {},
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+
+
+def load_checkpoint(path: str, state):
+    """Restore a train state saved by save_checkpoint; returns (state, extra)."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    template = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "epoch": state.epoch,
+    }
+    restored = serialization.from_state_dict(template, payload["state"])
+    state = state.replace(**restored)
+    return state, payload["extra"]
+
+
+def graft_base_into_ft(ft_variables: dict, base_variables: dict) -> dict:
+    """Load a base checkpoint into a fine-tune model: every base leaf that
+    exists in the ft tree is copied (backbone, decoder, classifier, base_emb,
+    BN stats); novel_emb/classifier_n keep their fresh init.  Mirrors
+    load_model(strict=False) + frozen base_emb semantics (ft_pop.py:196-204).
+    """
+    out = flax.traverse_util.flatten_dict(ft_variables)
+    base = flax.traverse_util.flatten_dict(base_variables)
+    for path, leaf in base.items():
+        if path in out:
+            if out[path].shape != leaf.shape:
+                raise ValueError(f"shape mismatch at {path}: {out[path].shape} vs {leaf.shape}")
+            out[path] = leaf
+    return flax.traverse_util.unflatten_dict(out)

@@ -1,0 +1,88 @@
+"""Shared CLI flags — names/defaults match the reference argparse blocks
+(train_base.py:47-111, ft_pop.py:47-115, eval_base.py:55-91) so the
+reference's shell scripts translate 1:1."""
+
+import argparse
+import os
+
+
+def apply_platform_env():
+    """Honor JAX_PLATFORMS even when a sitecustomize pre-registered a backend
+    at interpreter start (platform selection is lazy, so a config update
+    before first device use still wins)."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
+
+apply_platform_env()
+
+
+def str2bool(v: str) -> bool:
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+def add_common_args(p: argparse.ArgumentParser):
+    p.add_argument("--data-dir", type=str, required=True)
+    p.add_argument("--train-list", type=str, default="dataset/list/oem/train.txt")
+    p.add_argument("--val-list", type=str, default="dataset/list/oem/val.txt")
+    p.add_argument("--dataset", type=str, default="oem", choices=["oem", "oem_ft"])
+    p.add_argument("--model", type=str, default="pspnet_pop")
+    p.add_argument("--backbone", type=str, default=None)
+    p.add_argument("--restore-from", type=str, default=None)
+    p.add_argument("--snapshot-dir", type=str, default="snapshots")
+    p.add_argument("--input-size", type=str, default="512,512",
+                   help="crop H,W")
+    p.add_argument("--base-size", type=str, default="1024,1024")
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--num-classes", type=int, default=12)
+    p.add_argument("--base-classes", type=int, default=7)
+    p.add_argument("--novel-classes", type=int, default=4)
+    p.add_argument("--ignore-label", type=int, default=255)
+    p.add_argument("--os", type=int, default=8, dest="output_stride")
+    p.add_argument("--random-seed", type=str, default="123")
+    p.add_argument("--print-frequency", type=int, default=10)
+    p.add_argument("--num-workers", type=int, default=4)  # accepted for script compat
+    p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"],
+                   help="backbone/decoder compute dtype (POP head always fp32)")
+    return p
+
+
+def add_train_args(p: argparse.ArgumentParser):
+    p.add_argument("--learning-rate", type=float, default=1e-3)
+    p.add_argument("--weight-decay", type=float, default=1e-4)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--power", type=float, default=0.9)
+    p.add_argument("--num-epoch", type=int, default=200)
+    p.add_argument("--start-epoch", type=int, default=0)
+    p.add_argument("--val-start", type=int, default=35,
+                   help="epoch after which validation runs (reference train_base.py:294)")
+    p.add_argument("--val-frequency", type=int, default=10)
+    p.add_argument("--snapshot-frequency", type=int, default=10)
+    p.add_argument("--freeze-backbone", type=str2bool, nargs="?", const=True, default=False)
+    p.add_argument("--fix-lr", type=str2bool, nargs="?", const=True, default=False)
+    p.add_argument("--finetune", type=str2bool, nargs="?", const=True, default=False,
+                   help="restore backbone-only weights (reference train_base.py:198-201)")
+    p.add_argument("--fp16", type=str2bool, nargs="?", const=True, default=False,
+                   help="accepted for script compat; TPU path uses --dtype bfloat16")
+    return p
+
+
+def parse_hw(s: str):
+    h, w = s.split(",")
+    return int(h), int(w)
+
+
+def model_dtype(args):
+    import jax.numpy as jnp
+
+    return jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32

@@ -1,0 +1,140 @@
+"""Base-class training driver (reference train_base.py).
+
+Example (mirrors reference scripts/train_oem.sh):
+  python -m segland_tpu.cli.train_base --data-dir $DATA --model seghr_pop \
+      --backbone hr-w32 --num-epoch 200 --batch-size 4 --input-size 768,768 \
+      --learning-rate 1e-3
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .common import add_common_args, add_train_args, parse_hw, model_dtype
+from ..data import DATASETS, Loader
+from ..models import build_model
+from ..models.pop import GFSSModel
+from ..train import create_optimizer, create_train_state, make_base_train_step
+from ..train.base import make_eval_step
+from ..losses import get_loss
+from ..metrics import miou_from_cmatrix
+from ..dist import make_mesh, shard_batch, replicate
+from ..ckpt import save_checkpoint, load_checkpoint, save_params
+from ..ckpt.torch_convert import load_torch_checkpoint
+from ..utils import prep_experiment, format_loss_dict
+from ..train.state import poly_lr_schedule
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description="segland_tpu base training")
+    add_common_args(p)
+    add_train_args(p)
+    return p
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    logger = prep_experiment(args.snapshot_dir, rank=jax.process_index())
+
+    seed = int(args.random_seed.split(",")[0])
+    crop = parse_hw(args.input_size)
+
+    TrainDS, ValDS = DATASETS[args.dataset]
+    trainset = TrainDS(args.data_dir, args.train_list, crop_size=crop, seed=seed)
+    valset = ValDS(args.data_dir, args.val_list, use_novel=False, use_base=True)
+    train_loader = Loader(
+        trainset, args.batch_size, shuffle=True, drop_last=True, seed=seed,
+        process_index=jax.process_index(), process_count=jax.process_count(),
+    )
+    val_loader = Loader(valset, 1, shuffle=False)
+
+    n_base = args.base_classes
+    model = build_model(
+        args.model, backbone=args.backbone, n_base=n_base, os=args.output_stride,
+        dtype=model_dtype(args),
+    )
+    loss_name = "orth" if "pop" in args.model else "ce"
+
+    img0 = jnp.zeros((1,) + crop + (3,), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(seed), img0, train=True)
+
+    if args.restore_from:
+        if args.restore_from.endswith(".pth"):
+            variables, info = load_torch_checkpoint(
+                args.restore_from, jax.tree_util.tree_map(np.asarray, variables),
+                is_restore=not args.finetune, backbone_only=args.finetune,
+            )
+            logger.info(f"restored torch ckpt: {info['loaded']} leaves, "
+                        f"{len(info['missing'])} missing, {len(info['unexpected'])} unexpected")
+        else:
+            from ..ckpt import load_params
+
+            variables = load_params(args.restore_from, jax.tree_util.tree_map(np.asarray, variables))
+            logger.info(f"restored {args.restore_from}")
+
+    steps_per_epoch = len(train_loader)
+    tx = create_optimizer(
+        variables["params"], args.learning_rate, args.num_epoch, steps_per_epoch,
+        weight_decay=args.weight_decay, power=args.power, optimizer="adamw",
+        freeze_backbone=args.freeze_backbone, fix_lr=args.fix_lr,
+    )
+    state = create_train_state(model, variables, tx)
+    lr_fn = poly_lr_schedule(args.learning_rate, args.num_epoch, steps_per_epoch, args.power)
+
+    import math
+
+    mesh = make_mesh(math.gcd(jax.device_count(), args.batch_size))
+    state = replicate(mesh, state)
+    train_step = jax.jit(make_base_train_step(model, loss_name), donate_argnums=0)
+    eval_step = jax.jit(make_eval_step(model, 1 + n_base, args.ignore_label))
+
+    logger.info(f"devices: {jax.device_count()} | steps/epoch: {steps_per_epoch}")
+    best_miou, best_epoch = 0.0, 0
+    global_it = args.start_epoch * steps_per_epoch
+    for epoch in range(args.start_epoch, args.num_epoch):
+        epoch_log = epoch + 1
+        trainset.set_seed(seed + epoch)  # per-epoch reseed (train_base.py:236)
+        train_loader.set_epoch(epoch)
+        for i, (img, mask, _) in enumerate(train_loader):
+            img, mask = shard_batch(mesh, (jnp.asarray(img), jnp.asarray(mask)))
+            state, ld, gn = train_step(state, img, mask)
+            global_it += 1
+            if i % args.print_frequency == 0:
+                lr = float(lr_fn(global_it - 1)) if not args.fix_lr else args.learning_rate
+                logger.info(format_loss_dict(
+                    ld, lr, gn, f"Epoch{epoch_log}/Iters{global_it} Iter{i+1}/{steps_per_epoch}:"))
+
+        if jax.process_index() == 0 and (epoch_log % args.snapshot_frequency == 0 or epoch_log >= args.num_epoch):
+            save_checkpoint(os.path.join(args.snapshot_dir, f"epoch_{epoch_log}.ckpt"), state)
+            logger.info("taking snapshot ...")
+
+        if epoch_log > args.val_start and (epoch_log % args.val_frequency == 0 or epoch_log >= args.num_epoch):
+            miou = validate(state, eval_step, val_loader, 1 + n_base, logger)
+            if miou >= best_miou and jax.process_index() == 0:
+                best_miou, best_epoch = miou, epoch_log
+                save_params(os.path.join(args.snapshot_dir, "best.ckpt"),
+                            {"params": state.params, "batch_stats": state.batch_stats})
+            logger.info(f"val mIoU {miou:.4f} (best {best_miou:.4f} @ epoch {best_epoch})")
+    return best_miou
+
+
+def validate(state, eval_step, val_loader, num_classes, logger):
+    inter = np.zeros(num_classes)
+    union = np.zeros(num_classes)
+    for img, mask, _ in val_loader:
+        if mask is None or (isinstance(mask, list) and mask[0] is None):
+            continue
+        mask = np.stack(mask, 0) if isinstance(mask, list) else np.asarray(mask)
+        i, u, _ = eval_step(state.params, state.batch_stats, jnp.asarray(img), jnp.asarray(mask))
+        inter += np.asarray(i)
+        union += np.asarray(u)
+    iou = inter / np.maximum(union, 1)
+    return float(np.mean(iou))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""OpenEarthMap datasets — host-side (reference dataset/oem.py).
+
+Returns NHWC float32 images (TPU layout; the reference's CHW transpose is a
+torch-ism we drop).  Class split: base {1..7}, novel {8..11}, 0 = background
+(reference oem.py:32-34).
+"""
+
+import os
+import os.path as osp
+import random as _random
+from typing import Optional, Tuple
+
+import numpy as np
+
+from . import augment as A
+from .tileio import read_image, read_label
+
+NUM_CLASSES = 11
+BASE_CLASSES = tuple(range(1, 8))
+NOVEL_CLASSES = tuple(range(8, NUM_CLASSES + 1))
+
+
+class OEMTrainDataset:
+    """Base-training dataset (reference GFSSegTrain, oem.py:12-76).
+
+    Pipeline: crop -> pad -> flip -> rot90 -> normalize(0.5,0.5,0.5).
+    """
+
+    num_classes = NUM_CLASSES
+
+    def __init__(self, root: str, list_path: str, crop_size=(512, 512),
+                 ignore_label: int = 255, seed: int = 123):
+        self.root = root
+        self.crop_size = tuple(crop_size)
+        self.ignore_label = ignore_label
+        list_dir = os.path.dirname(list_path)
+        train_list = os.path.join(list_dir, "train.txt")
+        if not os.path.exists(train_list):
+            raise FileNotFoundError(train_list)
+        with open(train_list) as f:
+            self.data_list = f.read().splitlines()
+        self.rng = _random.Random(seed)
+        self.nprng = np.random.RandomState(seed)
+
+    def set_seed(self, seed: int):
+        """Per-epoch reseed (reference train_base.py:236-237)."""
+        self.rng = _random.Random(seed)
+        self.nprng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.data_list)
+
+    def __getitem__(self, index: int):
+        tid = self.data_list[index]
+        image = read_image(osp.join(self.root, "images", f"{tid}.tif"))
+        label = read_label(osp.join(self.root, "labels", f"{tid}.tif")).astype(np.int32)
+        image, label = A.crop_train(self.nprng, image, label, self.crop_size, self.ignore_label)
+        image, label = A.pad(self.crop_size, image, label, self.ignore_label)
+        image, label = A.random_flip(self.rng, image, label)
+        image, label = A.fixed_random_rotate(self.rng, image, label)
+        image = A.normalize(image, A.OEM_TRAIN_MEAN, A.OEM_TRAIN_STD)
+        return np.ascontiguousarray(image), np.ascontiguousarray(label), tid
+
+
+class OEMValDataset:
+    """Validation / test dataset (reference GFSSegVal, oem.py:78-149).
+
+    Remaps raw labels to contiguous eval ids: base -> 1..7 (list order),
+    novel -> 8..11, everything else 0.  Keeps ImageNet normalization (the
+    reference does NOT override mean/std here — a deliberate asymmetry with
+    the train set that must be preserved for mIoU parity).
+    """
+
+    num_classes = NUM_CLASSES
+
+    def __init__(self, root: str, list_path: str, base_size=(1024, 1024),
+                 resize_label: bool = False, use_novel: bool = True,
+                 use_base: bool = True, ignore_label: int = 255):
+        self.root = root
+        self.base_size = tuple(base_size)
+        self.resize_label = resize_label
+        self.use_novel = use_novel
+        self.use_base = use_base
+        self.ignore_label = ignore_label
+        with open(list_path) as f:
+            self.ids = f.read().splitlines()
+
+    def __len__(self):
+        return len(self.ids)
+
+    def remap(self, label: np.ndarray) -> np.ndarray:
+        new_label = label.copy()
+        base_list = list(BASE_CLASSES)
+        novel_list = list(NOVEL_CLASSES)
+        for c in np.unique(label).tolist():
+            if c in base_list:
+                new_label[label == c] = (base_list.index(c) + 1) if self.use_base else 0
+            elif c in novel_list:
+                if self.use_novel:
+                    off = len(base_list) + 1 if self.use_base else 1
+                    new_label[label == c] = novel_list.index(c) + off
+                else:
+                    new_label[label == c] = 0
+        return new_label
+
+    def __getitem__(self, index: int):
+        tid = self.ids[index]
+        image = read_image(osp.join(self.root, "images", f"{tid}.tif"))
+        label_path = osp.join(self.root, "labels", f"{tid}.tif")
+        if os.path.exists(label_path):
+            label = self.remap(read_label(label_path).astype(np.int32))
+            if self.resize_label:
+                image, label = A.resize_to_base(image, label, self.base_size)
+                image = A.normalize(image, A.IMAGENET_MEAN, A.IMAGENET_STD)
+                image, label = A.pad(self.base_size, image, label, self.ignore_label)
+            else:
+                image = A.normalize(image, A.IMAGENET_MEAN, A.IMAGENET_STD)
+            return np.ascontiguousarray(image), np.ascontiguousarray(label), tid
+        image = A.normalize(image, A.IMAGENET_MEAN, A.IMAGENET_STD)
+        return np.ascontiguousarray(image), None, tid

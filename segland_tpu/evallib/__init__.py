@@ -1,0 +1,2 @@
+from .infer import Evaluator
+from .fuse import fuse_prob_dirs

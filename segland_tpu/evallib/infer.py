@@ -1,0 +1,123 @@
+"""Whole-tile batched inference + confusion-matrix accumulation + export.
+
+Replaces eval_base.py/eval_ft.py inner loops.  TPU-first deltas vs the
+reference: batched tiles instead of bs=1 (reference eval is single-tile,
+eval_base.py:162), logits upsampled on device (align_corners=True,
+eval_base.py:168), argmax on device, and the batch dim shards over the mesh
+so the same code scales to a v5e-8.
+"""
+
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..metrics import confusion_matrix, miou_from_cmatrix
+from ..ops.resize import resize_bilinear
+from ..data.tileio import write_pred_tiff, write_prob_mat, OEM_COLORMAP, OEM_COLORMAP_FT
+
+
+class Evaluator:
+    def __init__(self, model, variables, num_classes: int = 12, n_base: int = 7,
+                 ignore_label: int = 255, mesh=None):
+        self.model = model
+        self.variables = variables
+        self.num_classes = num_classes
+        self.n_base = n_base
+        self.ignore_label = ignore_label
+        self.mesh = mesh
+        self._predict = jax.jit(self._predict_fn, static_argnames=("out_h", "out_w"))
+
+    def _predict_fn(self, variables, img, out_h, out_w):
+        logits = self.model.apply(variables, img, train=False)
+        logits = resize_bilinear(logits.astype(jnp.float32), (out_h, out_w), align_corners=True)
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+        return logits, pred
+
+    def predict_batch(self, images: np.ndarray, out_hw, batch_pad: Optional[int] = None):
+        """images [B,H,W,3] float32 -> (logits [B,oh,ow,K] fp32, pred uint8).
+
+        Ragged final batches are zero-padded to ``batch_pad`` (defaults to the
+        mesh size) so shapes stay static (one compile) and shard evenly; the
+        padded rows are sliced off the outputs.
+        """
+        b = images.shape[0]
+        target = batch_pad or (self.mesh.devices.size if self.mesh is not None else b)
+        pad = (-b) % target
+        if pad:
+            images = np.concatenate([images, np.zeros((pad,) + images.shape[1:], images.dtype)], 0)
+        img = jnp.asarray(images)
+        if self.mesh is not None:
+            from ..dist import shard_batch
+
+            img = shard_batch(self.mesh, img)
+        logits, pred = self._predict(self.variables, img, int(out_hw[0]), int(out_hw[1]))
+        if pad:
+            logits, pred = logits[:b], pred[:b]
+        return logits, pred
+
+    def run(self, loader, save_path: Optional[str] = None,
+            prob_path: Optional[str] = None, data_root: Optional[str] = None,
+            colormap=None, square_pad_eval: bool = False, logger=None):
+        """Full eval epoch. Returns (cmatrix, base/novel/total mIoU, tiles/sec).
+
+        With GT: accumulate the 12-class confusion matrix.  Without GT: write
+        colormapped GTiff predictions and (if prob_path) per-tile .mat
+        probability maps (reference eval_base.py:160-191).
+
+        square_pad_eval: eval_ft protocol — upsample logits to
+        (longside, longside) and ignore-pad the GT (eval_ft.py:168-178).
+        """
+        colormap = colormap or OEM_COLORMAP
+        cm = np.zeros((self.num_classes, self.num_classes), np.float64)
+        n_tiles = 0
+        t0 = time.time()
+        cm_dev = None
+        for batch in loader:
+            images, labels, ids = batch
+            has_gt = labels[0] is not None if isinstance(labels, list) else labels is not None
+            if has_gt:
+                labels = np.stack(labels, 0) if isinstance(labels, list) else np.asarray(labels)
+                lh, lw = labels.shape[-2:]
+                if square_pad_eval:
+                    side = max(lh, lw)
+                    pad = ((0, 0), (0, side - lh), (0, side - lw))
+                    labels = np.pad(labels, pad, constant_values=self.ignore_label)
+                    lh = lw = side
+                logits, pred = self.predict_batch(images, (lh, lw))
+                inc = confusion_matrix(
+                    jnp.asarray(labels), pred, self.num_classes, self.ignore_label
+                )
+                cm_dev = inc if cm_dev is None else cm_dev + inc
+            else:
+                lh, lw = images.shape[1:3]
+                logits, pred = self.predict_batch(images, (lh, lw))
+                pred_np = np.asarray(pred)
+                logits_np = np.asarray(logits)
+                for i, tid in enumerate(ids):
+                    if save_path:
+                        profile_from = (
+                            os.path.join(data_root, "images", f"{tid}.tif") if data_root else None
+                        )
+                        write_pred_tiff(
+                            os.path.join(save_path, f"{tid}.tif"), pred_np[i],
+                            colormap, profile_from,
+                        )
+                    if prob_path:
+                        # NCHW layout for fusemat byte-compat (eval_base.py:190)
+                        write_prob_mat(
+                            os.path.join(prob_path, f"{tid}.mat"),
+                            np.transpose(logits_np[i], (2, 0, 1))[None],
+                        )
+            n_tiles += len(ids)
+        if cm_dev is not None:
+            cm = np.asarray(cm_dev, np.float64)
+        dt = time.time() - t0
+        base, novel, total, iou = miou_from_cmatrix(cm, self.n_base)
+        if logger:
+            logger.info(f"eval: {n_tiles} tiles in {dt:.1f}s ({n_tiles/max(dt,1e-9):.1f} tiles/s)")
+        return cm, (base, novel, total, iou), n_tiles / max(dt, 1e-9)

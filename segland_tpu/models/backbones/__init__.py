@@ -7,6 +7,9 @@ import jax.numpy as jnp
 def get_backbone(name: str, dtype=jnp.float32, **kw):
     from . import resnet
 
+    if name == "resnet10":
+        # tiny 1-block-per-stage variant for smoke/sharding tests and dryruns
+        return resnet.ResNet(layers=(1, 1, 1, 1), dtype=dtype, **kw)
     if name == "resnet50":
         return resnet.resnet50(dtype=dtype, **kw)
     if name == "resnet101":

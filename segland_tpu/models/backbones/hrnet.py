@@ -1,0 +1,145 @@
+"""HRNetV2 backbone (W18/W32/W48), NHWC flax.
+
+Behavioral match for reference networks/backbones/hrnet.py:279-494: 2x
+stride-2 3x3 stem, stage1 = 4 bottlenecks (64->256), transitions adding a
+branch per stage, stages of [1,1,4,3] HighResolution modules with [2,3,4]
+branches x 4 BasicBlocks and full SUM fuse lattices (upsamples
+align_corners=True).  Returns the 4 parallel-resolution branch outputs
+FINE->COARSE.  Param names mirror torch module paths for the converter
+(stage3_2_branches_1_0 <-> stage3.2.branches.1.0, ...).
+"""
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ...ops.resize import resize_bilinear
+
+_FILTERS = {
+    "hr-w18": (18, 36, 72, 144),
+    "hr-w32": (32, 64, 128, 256),
+    "hr-w48": (48, 96, 192, 384),
+}
+
+
+class _Ops:
+    """Name-scoped conv/bn helpers bound to a parent @nn.compact module."""
+
+    def __init__(self, parent, train, dtype):
+        self.p = parent
+        self.train = train
+        self.dtype = dtype
+
+    def conv(self, x, feats, k, s, name, dilation=1):
+        pad = dilation * (k // 2)
+        return nn.Conv(
+            feats, (k, k), strides=(s, s), padding=[(pad, pad)] * 2,
+            kernel_dilation=(dilation, dilation), use_bias=False,
+            dtype=self.dtype, name=f"{name}_conv", parent=self.p,
+        )(x)
+
+    def bn(self, x, name):
+        return nn.BatchNorm(
+            use_running_average=not self.train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=f"{name}_bn", parent=self.p,
+        )(x)
+
+    def cb(self, x, feats, k, s, name):
+        return self.bn(self.conv(x, feats, k, s, name), name)
+
+    def cbr(self, x, feats, k, s, name):
+        return nn.relu(self.cb(x, feats, k, s, name))
+
+
+def _basic_block(ops, x, planes, name, stride=1, has_down=False):
+    residual = x
+    out = ops.cbr(x, planes, 3, stride, f"{name}_c1")
+    out = ops.cb(out, planes, 3, 1, f"{name}_c2")
+    if has_down:
+        residual = ops.cb(x, planes, 1, stride, f"{name}_down")
+    return nn.relu(out + residual)
+
+
+def _bottleneck(ops, x, planes, name, stride=1, has_down=False):
+    residual = x
+    out = ops.cbr(x, planes, 1, 1, f"{name}_c1")
+    out = ops.cbr(out, planes, 3, stride, f"{name}_c2")
+    out = ops.cb(out, planes * 4, 1, 1, f"{name}_c3")
+    if has_down:
+        residual = ops.cb(x, planes * 4, 1, stride, f"{name}_down")
+    return nn.relu(out + residual)
+
+
+def _hr_module(ops, xs, channels: Sequence[int], name: str):
+    """One HighResolutionModule: 4 BasicBlocks per branch + SUM fuse lattice
+    (reference hrnet.py:124-271)."""
+    n = len(xs)
+    ys = []
+    for b in range(n):
+        x = xs[b]
+        for k in range(4):
+            has_down = k == 0 and x.shape[-1] != channels[b]
+            x = _basic_block(ops, x, channels[b], f"{name}_branches_{b}_{k}", has_down=has_down)
+        ys.append(x)
+    if n == 1:
+        return ys
+    fused = []
+    for i in range(n):
+        y = None
+        for j in range(n):
+            if j == i:
+                t = ys[j]
+            elif j > i:
+                t = ops.cb(ys[j], channels[i], 1, 1, f"{name}_fuse_{i}_{j}")
+                t = resize_bilinear(t, ys[i].shape[1:3], align_corners=True)
+            else:
+                t = ys[j]
+                for k in range(i - j):
+                    last = k == i - j - 1
+                    feats = channels[i] if last else channels[j]
+                    t = ops.cb(t, feats, 3, 2, f"{name}_fuse_{i}_{j}_{k}")
+                    if not last:
+                        t = nn.relu(t)
+            y = t if y is None else y + t
+        fused.append(nn.relu(y))
+    return fused
+
+
+class HighResolutionNet(nn.Module):
+    filters: Sequence[int] = (32, 64, 128, 256)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ops = _Ops(self, train, self.dtype)
+        f = list(self.filters)
+
+        # stem: two stride-2 3x3 convs (hrnet.py:296-303)
+        x = ops.cbr(x, 64, 3, 2, "stem1")
+        x = ops.cbr(x, 64, 3, 2, "stem2")
+        # stage1: 4 bottlenecks 64->256
+        for k in range(4):
+            x = _bottleneck(ops, x, 64, f"layer1_{k}", has_down=(k == 0))
+
+        # transition1: branch0 3x3 s1 (256->f0), branch1 3x3 s2 (256->f1)
+        xs = [
+            ops.cbr(x, f[0], 3, 1, "transition1_0_0"),
+            ops.cbr(x, f[1], 3, 2, "transition1_1_0"),
+        ]
+        xs = _hr_module(ops, xs, f[:2], "stage2_0")
+
+        # transition2: new branch from the COARSEST existing (hrnet.py:478)
+        xs = xs + [ops.cbr(xs[-1], f[2], 3, 2, "transition2_2_0")]
+        for m in range(4):
+            xs = _hr_module(ops, xs, f[:3], f"stage3_{m}")
+
+        xs = xs + [ops.cbr(xs[-1], f[3], 3, 2, "transition3_3_0")]
+        for m in range(3):
+            xs = _hr_module(ops, xs, f[:4], f"stage4_{m}")
+
+        return xs  # fine->coarse, 4 branches
+
+
+def get_hrnet(name: str, dtype=jnp.float32) -> HighResolutionNet:
+    return HighResolutionNet(filters=_FILTERS[name], dtype=dtype)

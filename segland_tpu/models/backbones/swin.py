@@ -1,0 +1,209 @@
+"""Swin Transformer backbone (T/S/B/L), TPU-native flax.
+
+Behavioral match for reference networks/backbones/swintransformer.py:436-651:
+4x4 patch embed + LN, 4 stages of shifted 7x7-window attention with relative
+position bias, PatchMerging between stages, per-stage output LayerNorm,
+4-level pyramid output.
+
+TPU-first deltas: NHWC layout end-to-end, window partition as
+reshape/transpose (XLA fuses), attention as einsum on the MXU, and the
+shifted-window attention mask computed in *numpy at trace time* (H/W are
+static under jit) instead of on-device tensor surgery
+(reference swintransformer.py:360-379).
+"""
+
+from typing import Any, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+_CONFIGS = {
+    "swin-t": dict(depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24), embed_dim=96),
+    "swin-s": dict(depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24), embed_dim=96),
+    "swin-b": dict(depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32), embed_dim=128),
+    "swin-l": dict(depths=(2, 2, 18, 2), num_heads=(6, 12, 24, 48), embed_dim=192),
+}
+
+
+def _rel_pos_index(ws: int) -> np.ndarray:
+    """Static relative-position index table (reference swin :97-108)."""
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    return rel.sum(-1)  # [ws*ws, ws*ws]
+
+
+def _shift_attn_mask(hp: int, wp: int, ws: int, shift: int) -> np.ndarray:
+    """Static SW-MSA mask [nW, ws*ws, ws*ws] of {0, -100}
+    (reference swin :360-379), computed in numpy at trace time."""
+    img = np.zeros((hp, wp), np.int32)
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for vs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img[hs, vs] = cnt
+            cnt += 1
+    win = img.reshape(hp // ws, ws, wp // ws, ws).transpose(0, 2, 1, 3).reshape(-1, ws * ws)
+    mask = win[:, None, :] - win[:, :, None]
+    return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+def _window_partition(x, ws):
+    """[B,Hp,Wp,C] -> [B*nW, ws*ws, C]"""
+    b, hp, wp, c = x.shape
+    x = x.reshape(b, hp // ws, ws, wp // ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws * ws, c)
+
+
+def _window_reverse(x, ws, b, hp, wp):
+    c = x.shape[-1]
+    x = x.reshape(b, hp // ws, wp // ws, ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, hp, wp, c)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int = 7
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: np.ndarray | None):
+        """x: [B_, N, C]; mask: static numpy [nW, N, N] or None."""
+        b_, n, c = x.shape
+        nh = self.num_heads
+        hd = c // nh
+        ws = self.window_size
+        qkv = nn.Dense(3 * c, use_bias=True, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b_, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # [B_, nh, N, hd]
+        q = q * (hd ** -0.5)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)
+
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * ws - 1) * (2 * ws - 1), nh),
+        )
+        idx = _rel_pos_index(ws).reshape(-1)
+        bias = table[idx].reshape(n, n, nh).transpose(2, 0, 1)  # [nh,N,N]
+        attn = attn + bias[None].astype(attn.dtype)
+
+        if mask is not None:
+            nw = mask.shape[0]
+            m = jnp.asarray(mask, attn.dtype)
+            attn = attn.reshape(b_ // nw, nw, nh, n, n) + m[None, :, None]
+            attn = attn.reshape(b_, nh, n, n)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int = 7
+    shift_size: int = 0
+    mlp_ratio: float = 4.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: [B,H,W,C] NHWC (H,W static)."""
+        b, h, w, c = x.shape
+        ws = self.window_size
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        pad_b = (-h) % ws
+        pad_r = (-w) % ws
+        if pad_b or pad_r:
+            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        hp, wp = h + pad_b, w + pad_r
+
+        if self.shift_size > 0:
+            x = jnp.roll(x, (-self.shift_size, -self.shift_size), axis=(1, 2))
+            mask = _shift_attn_mask(hp, wp, ws, self.shift_size)
+        else:
+            mask = None
+        wins = _window_partition(x, ws)
+        wins = WindowAttention(self.dim, self.num_heads, ws, self.dtype, name="attn")(wins, mask)
+        x = _window_reverse(wins, ws, b, hp, wp)
+        if self.shift_size > 0:
+            x = jnp.roll(x, (self.shift_size, self.shift_size), axis=(1, 2))
+        if pad_b or pad_r:
+            x = x[:, :h, :w, :]
+
+        x = shortcut + x
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        hidden = int(c * self.mlp_ratio)
+        y = nn.Dense(hidden, dtype=self.dtype, name="mlp_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(y)
+        return x + y
+
+
+class PatchMerging(nn.Module):
+    dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        if h % 2 or w % 2:
+            x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+        x0 = x[:, 0::2, 0::2]
+        x1 = x[:, 1::2, 0::2]
+        x2 = x[:, 0::2, 1::2]
+        x3 = x[:, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype, name="reduction")(x)
+
+
+class SwinTransformer(nn.Module):
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    embed_dim: int = 96
+    window_size: int = 7
+    patch_size: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """x: [B,H,W,3] -> 4-level pyramid FINE->COARSE NHWC (stage0..3),
+        matching the reference backbone output order (swintransformer.py:638-650)."""
+        ps = self.patch_size
+        h, w = x.shape[1], x.shape[2]
+        if h % ps or w % ps:
+            x = jnp.pad(x, ((0, 0), (0, (-h) % ps), (0, (-w) % ps), (0, 0)))
+        x = nn.Conv(self.embed_dim, (ps, ps), strides=(ps, ps), dtype=self.dtype,
+                    name="patch_embed_proj")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_embed_norm")(x)
+
+        outs = []
+        for i, depth in enumerate(self.depths):
+            dim = int(self.embed_dim * 2 ** i)
+            for j in range(depth):
+                x = SwinBlock(
+                    dim, self.num_heads[i], self.window_size,
+                    shift_size=0 if j % 2 == 0 else self.window_size // 2,
+                    dtype=self.dtype, name=f"layers_{i}_blocks_{j}",
+                )(x)
+            out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"out_norm{i}")(x)
+            outs.append(out)
+            if i < len(self.depths) - 1:
+                x = PatchMerging(dim, dtype=self.dtype, name=f"layers_{i}_downsample")(x)
+        return outs  # fine->coarse [stage0..stage3]
+
+
+def get_swin(name: str, dtype=jnp.float32) -> SwinTransformer:
+    cfg = _CONFIGS[name]
+    return SwinTransformer(dtype=dtype, **cfg)

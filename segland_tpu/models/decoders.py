@@ -1,18 +1,31 @@
-"""Decoder zoo (NHWC flax): PSP, PSP+, ASPP, UperNet+, FPN-OCR, Simple, HRFPN.
+"""Decoder zoo (NHWC flax) — one decoder per reference head family, each
+matched structurally to its reference for checkpoint-level parity:
 
-One decoder per reference head family:
-  psp       -> networks/pspnet_pop.py:8-35        (PSPModule)
-  pspplus   -> networks/pspplus_pop.py:37-54      (PSP on x4 + low-level x3)
-  aspp      -> networks/deeplab_pop.py:46-67      (_ASPP, rates 6/12/18)
-  upernetplus -> networks/swin_pop.py:104-173     (FPN top-down + scale heads)
-  fpn_ocr   -> networks/convnext_pop.py:8-28      (concat-upsampled pyramid)
-  simple    -> networks/lsk_pop.py:104-165        (gated lateral FPN)
-  hrfpn     -> networks/seghr_pop.py:8-24         (parameterless concat)
+  psp          -> networks/pspnet_pop.py:8-35   (PSPModule: 3x3 bottleneck,
+                  priors upsampled align_corners=False, 1x1 out with bias)
+  psp_v2       -> networks/swin_pop.py:7-35     (1x1 bottleneck + dropout,
+                  priors align_corners=True) — used inside UperNet+
+  pspplus      -> networks/pspplus_pop.py:37-54 (PSP on x4 + reduced x3;
+                  NB the reference head is broken as shipped: it passes a
+                  single tensor where the decoder indexes a list, and its
+                  reduce conv has mismatched channels — we implement the
+                  intended structure: reduce takes x3 [1024ch])
+  aspp         -> networks/deeplab_pop.py:12-67 (rates 6/12/18 + image pool,
+                  BN momentum 0.999 torch == 0.001 flax)
+  upernetplus  -> networks/swin_pop.py:104-173  (laterals + PSP top + FPN
+                  top-down + log2 scale heads, all align_corners=True)
+  fpn_ocr      -> networks/convnext_pop.py:8-28 (concat pyramid -> 1x1 conv
+                  (bias) -> LayerNorm, no activation)
+  simple       -> networks/lsk_pop.py:104-165   (gated laterals l*sem + l,
+                  log2 scale heads)
+  hrfpn        -> networks/seghr_pop.py:8-24    (parameterless concat,
+                  align_corners=True)
 
-All decoders take either a single stride-8 feature map or a 4-level pyramid
-[x4, x3, x2, x1] (coarse->fine) and return a [B,h,w,d_model] map.
+Pyramid decoders take FINE->COARSE lists (x[0] = finest), matching the
+reference backbones' output order; `pspplus` takes [x4, x3].
 """
 
+import math
 from typing import Any, Sequence
 
 import jax.numpy as jnp
@@ -22,17 +35,13 @@ from ..ops.pooling import adaptive_avg_pool
 from ..ops.resize import resize_bilinear
 
 
-def _bn(train, dtype, name=None):
-    return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dtype, name=name)
+def _bn(train, dtype, name=None, momentum=0.9):
+    return nn.BatchNorm(use_running_average=not train, momentum=momentum,
+                        epsilon=1e-5, dtype=dtype, name=name)
 
 
 class PSPModule(nn.Module):
-    """Pyramid scene parsing head (reference networks/pspnet_pop.py:8-35).
-
-    stages: adaptive_avg_pool(s) -> 1x1 conv (no bias) -> BN -> ReLU ->
-    bilinear up (align_corners=False); concat with input; bottleneck =
-    3x3 conv (no bias) -> BN -> ReLU -> 1x1 conv (bias).
-    """
+    """pspnet_pop-style PSP (reference networks/pspnet_pop.py:8-35)."""
     out_features: int = 512
     sizes: Sequence[int] = (1, 2, 3, 6)
     dtype: Any = jnp.float32
@@ -44,43 +53,65 @@ class PSPModule(nn.Module):
         for i, s in enumerate(self.sizes):
             p = adaptive_avg_pool(feats, s)
             p = nn.Conv(self.out_features, (1, 1), use_bias=False, dtype=self.dtype, name=f"stages_{i}_conv")(p)
-            p = _bn(train, self.dtype, name=f"stages_{i}_bn")(p)
-            p = nn.relu(p)
+            p = nn.relu(_bn(train, self.dtype, name=f"stages_{i}_bn")(p))
             priors.append(resize_bilinear(p, (h, w), align_corners=False))
         priors.append(feats)
         x = jnp.concatenate(priors, axis=-1)
         x = nn.Conv(self.out_features, (3, 3), padding=[(1, 1)] * 2, use_bias=False, dtype=self.dtype, name="bottleneck_conv")(x)
-        x = _bn(train, self.dtype, name="bottleneck_bn")(x)
-        x = nn.relu(x)
+        x = nn.relu(_bn(train, self.dtype, name="bottleneck_bn")(x))
         x = nn.Conv(self.out_features, (1, 1), dtype=self.dtype, name="bottleneck_out")(x)
         return x
 
 
-class PSPPlusDecoder(nn.Module):
-    """PSP on x4 + reduced low-level x3, concat + fuse
-    (reference networks/pspplus_pop.py:37-54)."""
+class PSPModuleV2(nn.Module):
+    """swin/upernet-style PSP (reference networks/swin_pop.py:7-35):
+    1x1 bottleneck conv (no bias) + BN + ReLU + Dropout2d(0.1); priors
+    upsampled with align_corners=True."""
     out_features: int = 512
-    low_features: int = 48
+    sizes: Sequence[int] = (1, 2, 3, 6)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        h, w = feats.shape[1], feats.shape[2]
+        priors = []
+        for i, s in enumerate(self.sizes):
+            p = adaptive_avg_pool(feats, s)
+            p = nn.Conv(self.out_features, (1, 1), use_bias=False, dtype=self.dtype, name=f"stages_{i}_conv")(p)
+            p = nn.relu(_bn(train, self.dtype, name=f"stages_{i}_bn")(p))
+            priors.append(resize_bilinear(p, (h, w), align_corners=True))
+        priors.append(feats)
+        x = jnp.concatenate(priors, axis=-1)
+        x = nn.Conv(self.out_features, (1, 1), use_bias=False, dtype=self.dtype, name="bottleneck_conv")(x)
+        x = nn.relu(_bn(train, self.dtype, name="bottleneck_bn")(x))
+        x = nn.Dropout(0.1, deterministic=not train, name="bottleneck_drop")(x)
+        return x
+
+
+class PSPPlusDecoder(nn.Module):
+    """Intended PSP+ structure (see module docstring re reference bug):
+    psp(x4) upsampled align_corners=True to x3 resolution, concat with
+    reduced x3, fused by 3x3 conv+BN+ReLU + 1x1 conv."""
+    out_features: int = 512
+    reduced_feature: int = 32
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
         x4, x3 = feats[0], feats[1]
-        psp = PSPModule(self.out_features, dtype=self.dtype, name="psp")(x4, train)
-        low = nn.Conv(self.low_features, (1, 1), use_bias=False, dtype=self.dtype, name="low_conv")(x3)
-        low = _bn(train, self.dtype, name="low_bn")(low)
-        low = nn.relu(low)
-        low = resize_bilinear(low, psp.shape[1:3], align_corners=False)
-        x = jnp.concatenate([psp, low], axis=-1)
-        x = nn.Conv(self.out_features, (3, 3), padding=[(1, 1)] * 2, use_bias=False, dtype=self.dtype, name="fc_conv")(x)
-        x = _bn(train, self.dtype, name="fc_bn")(x)
-        x = nn.relu(x)
+        low = nn.Conv(self.reduced_feature, (1, 1), dtype=self.dtype, name="reduce_conv")(x3)
+        low = nn.relu(_bn(train, self.dtype, name="reduce_bn")(low))
+        high = PSPModule(self.out_features, dtype=self.dtype, name="psp")(x4, train)
+        high = resize_bilinear(high, low.shape[1:3], align_corners=True)
+        x = jnp.concatenate([low, high], axis=-1)
+        x = nn.Conv(self.out_features, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="fc_conv")(x)
+        x = nn.relu(_bn(train, self.dtype, name="fc_bn")(x))
+        x = nn.Conv(self.out_features, (1, 1), dtype=self.dtype, name="fc_out")(x)
         return x
 
 
 class ASPP(nn.Module):
-    """Atrous spatial pyramid pooling (reference networks/deeplab_pop.py:46-67):
-    1x1 + three 3x3 dilated (6/12/18) + image pooling, concat -> 1x1 fuse."""
+    """Atrous spatial pyramid pooling (reference networks/deeplab_pop.py:12-67)."""
     out_features: int = 256
     rates: Sequence[int] = (6, 12, 18)
     dtype: Any = jnp.float32
@@ -92,108 +123,121 @@ class ASPP(nn.Module):
         def cbr(x, k, d, name):
             x = nn.Conv(self.out_features, (k, k), padding=[(d * (k // 2),) * 2] * 2,
                         kernel_dilation=(d, d), use_bias=False, dtype=self.dtype, name=f"{name}_conv")(x)
-            x = _bn(train, self.dtype, name=f"{name}_bn")(x)
+            # torch BN momentum 0.999 == flax momentum 0.001 (deeplab_pop.py:27)
+            x = _bn(train, self.dtype, name=f"{name}_bn", momentum=0.001)(x)
             return nn.relu(x)
 
-        branches = [cbr(feats, 1, 1, "b0")]
+        branches = [cbr(feats, 1, 1, "c0")]
         for i, r in enumerate(self.rates):
-            branches.append(cbr(feats, 3, r, f"b{i+1}"))
+            branches.append(cbr(feats, 3, r, f"c{i+1}"))
         pooled = jnp.mean(feats, axis=(1, 2), keepdims=True)
-        pooled = cbr(pooled, 1, 1, "pool")
+        pooled = cbr(pooled, 1, 1, "imagepool")
         branches.append(jnp.broadcast_to(pooled, (feats.shape[0], h, w, self.out_features)))
         x = jnp.concatenate(branches, axis=-1)
-        x = cbr(x, 1, 1, "project")
-        return x
+        return cbr(x, 1, 1, "fc")
+
+
+def _scale_head(x, dim, n_ups, train, dtype, name):
+    """log2 scale head: (conv3x3+BN+ReLU [+2x up align_True]) x max(1, n_ups)
+    (reference swin_pop.py:121-140 / lsk_pop.py:120-140)."""
+    reps = max(1, n_ups)
+    for r in range(reps):
+        x = nn.Conv(dim, (3, 3), padding=[(1, 1)] * 2, dtype=dtype, name=f"{name}_{r}_conv")(x)
+        x = nn.relu(_bn(train, dtype, name=f"{name}_{r}_bn")(x))
+        if n_ups > 0:
+            x = resize_bilinear(x, (x.shape[1] * 2, x.shape[2] * 2), align_corners=True)
+    return x
 
 
 class UperNetPlusDecoder(nn.Module):
-    """FPN top-down pathway + per-level scale heads, summed at 1/4 res
-    (reference networks/swin_pop.py:104-173, UperNet_Decoder_Plus)."""
+    """UperNet_Decoder_Plus (reference networks/swin_pop.py:104-173).
+
+    Input: fine->coarse pyramid [x0..x3]. Laterals (3x3 conv+BN+ReLU) on the
+    three fine levels, PSP-v2 on the top; top-down sum with align_corners=True;
+    per-level scale heads upsampling back to x0 resolution; summed.
+    """
+    filters: Sequence[int]
     out_features: int = 96
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
-        # feats: [x4, x3, x2, x1] coarse->fine
-        levels = list(feats)
-
-        def cbr(x, k, name):
-            x = nn.Conv(self.out_features, (k, k), padding=[(k // 2,) * 2] * 2,
-                        use_bias=False, dtype=self.dtype, name=f"{name}_conv")(x)
-            x = _bn(train, self.dtype, name=f"{name}_bn")(x)
-            return nn.relu(x)
-
-        laterals = [cbr(lv, 1, f"lateral_{i}") for i, lv in enumerate(levels)]
-        # top-down accumulation (coarse -> fine)
-        for i in range(1, len(laterals)):
-            up = resize_bilinear(laterals[i - 1], laterals[i].shape[1:3], align_corners=False)
-            laterals[i] = laterals[i] + up
-        target_hw = laterals[-1].shape[1:3]
+        dim = self.out_features
+        laterals = []
+        for i in range(len(feats) - 1):
+            l = nn.Conv(dim, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name=f"lateral_{i}_conv")(feats[i])
+            laterals.append(nn.relu(_bn(train, self.dtype, name=f"lateral_{i}_bn")(l)))
+        laterals.append(PSPModuleV2(dim, dtype=self.dtype, name="psp")(feats[-1], train))
+        for i in range(len(laterals) - 1, 0, -1):
+            up = resize_bilinear(laterals[i], laterals[i - 1].shape[1:3], align_corners=True)
+            laterals[i - 1] = laterals[i - 1] + up
+        target_hw = feats[0].shape[1:3]
         out = None
         for i, lat in enumerate(laterals):
-            head = cbr(lat, 3, f"scale_head_{i}")
-            head = resize_bilinear(head, target_hw, align_corners=False)
+            n_ups = 0 if self.filters[i] == self.filters[0] else max(
+                1, int(math.log2(self.filters[i]) - math.log2(self.filters[0])))
+            head = _scale_head(lat, dim, n_ups, train, self.dtype, f"fpn_convs_{i}")
+            if head.shape[1:3] != target_hw:
+                head = resize_bilinear(head, target_hw, align_corners=True)
             out = head if out is None else out + head
         return out
 
 
 class FPNOCRDecoder(nn.Module):
-    """Upsample all 4 levels to 1/4 res, concat, 1x1 conv + LayerNorm
-    (reference networks/convnext_pop.py:8-28, FPN_Seg_OCR_Decoder)."""
+    """FPN_Seg_OCR_Decoder (reference networks/convnext_pop.py:8-28):
+    upsample levels 1..3 to level-0 res (align_corners=True), concat,
+    1x1 conv (bias) + LayerNorm. No activation."""
     out_features: int = 192
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
-        target_hw = feats[-1].shape[1:3]
-        ups = [resize_bilinear(f, target_hw, align_corners=False) for f in feats]
+        target_hw = feats[0].shape[1:3]
+        ups = [feats[0]] + [resize_bilinear(f, target_hw, align_corners=True) for f in feats[1:]]
         x = jnp.concatenate(ups, axis=-1)
-        x = nn.Conv(self.out_features, (1, 1), use_bias=False, dtype=self.dtype, name="fuse_conv")(x)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="fuse_ln")(x)
-        x = nn.relu(x)
+        x = nn.Conv(self.out_features, (1, 1), dtype=self.dtype, name="conv")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return x
 
 
 class SimpleDecoder(nn.Module):
-    """Lateral convs gated by a sigmoid global semantic embedding of the top
-    level, per-level scale heads, summed (reference networks/lsk_pop.py:104-165)."""
+    """SimpleDecoder (reference networks/lsk_pop.py:104-165): laterals gated
+    by a sigmoid global semantic embedding of the top level (l*sem + l),
+    log2 scale heads, summed at level-0 resolution."""
+    filters: Sequence[int]
     out_features: int = 192
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
-        # feats: [x4, x3, x2, x1] coarse->fine
-        top = feats[0]
-        sem = jnp.mean(top, axis=(1, 2), keepdims=True)  # [B,1,1,C]
-        sem = nn.Conv(self.out_features, (1, 1), use_bias=False, dtype=self.dtype, name="semantic_conv")(sem)
-        gate = nn.sigmoid(sem)
-
-        def cbr(x, k, name):
-            x = nn.Conv(self.out_features, (k, k), padding=[(k // 2,) * 2] * 2,
-                        use_bias=False, dtype=self.dtype, name=f"{name}_conv")(x)
-            x = _bn(train, self.dtype, name=f"{name}_bn")(x)
-            return nn.relu(x)
-
-        target_hw = feats[-1].shape[1:3]
+        dim = self.out_features
+        sem = jnp.mean(feats[-1], axis=(1, 2), keepdims=True)
+        sem = nn.Conv(dim, (1, 1), use_bias=False, dtype=self.dtype, name="semantic_conv")(sem)
+        sem = nn.sigmoid(sem)
+        target_hw = feats[0].shape[1:3]
         out = None
         for i, f in enumerate(feats):
-            lat = cbr(f, 1, f"lateral_{i}") * gate
-            head = cbr(lat, 3, f"scale_head_{i}")
-            head = resize_bilinear(head, target_hw, align_corners=False)
+            l = nn.Conv(dim, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name=f"lateral_{i}_conv")(f)
+            l = nn.relu(_bn(train, self.dtype, name=f"lateral_{i}_bn")(l))
+            l = l * sem + l
+            n_ups = 0 if self.filters[i] == self.filters[0] else max(
+                1, int(math.log2(self.filters[i]) - math.log2(self.filters[0])))
+            head = _scale_head(l, dim, n_ups, train, self.dtype, f"fpn_convs_{i}")
+            if head.shape[1:3] != target_hw:
+                head = resize_bilinear(head, target_hw, align_corners=True)
             out = head if out is None else out + head
         return out
 
 
 class HRFPNDecoder(nn.Module):
-    """Parameterless: upsample the 4 HRNet branches to the finest resolution
-    and concat (reference networks/seghr_pop.py:8-24)."""
+    """Parameterless concat of the 4 HRNet branches at the finest resolution
+    (reference networks/seghr_pop.py:8-24), align_corners=True."""
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
-        # HRNet branches fine->coarse; finest first
         target_hw = feats[0].shape[1:3]
-        ups = [feats[0]] + [resize_bilinear(f, target_hw, align_corners=False) for f in feats[1:]]
+        ups = [feats[0]] + [resize_bilinear(f, target_hw, align_corners=True) for f in feats[1:]]
         return jnp.concatenate(ups, axis=-1)
 
 

@@ -100,7 +100,13 @@ class GFSSModel(nn.Module):
             self.decoder = None
         else:
             cls = D.DECODERS[self.decoder_name]
-            kw = {} if self.decoder_name == "hrfpn" else {"out_features": dm}
+            if self.decoder_name == "hrfpn":
+                kw = {}
+            elif self.decoder_name in ("upernetplus", "simple"):
+                # fine->coarse channel counts drive the log2 scale heads
+                kw = {"out_features": dm, "filters": backbone_filters(self.backbone_name)}
+            else:
+                kw = {"out_features": dm}
             self.decoder = cls(dtype=self.dtype, name="decoder", **kw)
 
         self.base_emb = self.param("base_emb", nn.initializers.orthogonal(), (self.n_base, dm))

@@ -31,12 +31,25 @@ def adaptive_avg_pool(x: jnp.ndarray, out_size: int) -> jnp.ndarray:
     return out
 
 
+def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """torch MaxPool2d(2, 2) — the VGG pool."""
+    neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return lax.reduce_window(
+        x, neg_inf, lax.max,
+        window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (0, 0), (0, 0), (0, 0)),
+    )
+
+
 def max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
     """torch MaxPool2d(kernel_size=3, stride=2, padding=1, ceil_mode=False).
 
     Matches the ResNet stem pool (reference networks/backbones/resnet.py:90).
     """
-    neg_inf = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # -inf init is required for lax to recognize the differentiable
+    # reduce-window-max monoid (finfo.min falls back to the generic,
+    # non-differentiable reduce_window).
+    neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(
         x,
         neg_inf,

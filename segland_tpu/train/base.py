@@ -1,0 +1,75 @@
+"""Base-class training / validation steps (reference train_base.py:235-340).
+
+Data parallelism is GSPMD: the caller shards the batch over the mesh 'data'
+axis and jits the step; gradient averaging and cross-replica BatchNorm
+statistics come out of XLA collectives — no DDP, no explicit all_reduce
+(replaces reference engine.py:69-74,120-131 and SyncBatchNorm).
+"""
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses import orth_loss, ce_loss
+from ..metrics import intersection_and_union
+from ..ops.resize import resize_bilinear
+
+
+def make_base_train_step(model, loss_name: str = "orth"):
+    """Returns train_step(state, img [B,H,W,3], mask [B,H,W]) ->
+    (state, loss_dict, grad_norm)."""
+    is_pop = loss_name == "orth"
+
+    def train_step(state, img, mask):
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            if is_pop:
+                (logits, sim), new_state = state.apply_fn(
+                    variables, img, train=True, mutable=["batch_stats"],
+                    method=type(model).forward_base,
+                )
+                ld = orth_loss(logits, mask, sim)
+            else:
+                (out, new_state) = state.apply_fn(
+                    variables, img, train=True, mutable=["batch_stats"]
+                )
+                logits, aux = out
+                ld = ce_loss(logits, mask, aux_logits=aux)
+            return ld["total_loss"], (ld, new_state)
+
+        grads, (ld, new_model_state) = jax.grad(loss_fn, has_aux=True)(state.params)
+        grad_norm = optax.global_norm(grads)
+        state = state.apply_gradients(
+            grads=grads, batch_stats=new_model_state["batch_stats"]
+        )
+        return state, ld, grad_norm
+
+    return train_step
+
+
+def make_eval_step(model, num_classes: int, ignore_index: int = 255):
+    """Whole-tile eval step: logits upsampled to label size
+    (align_corners=True, reference train_base.py:331-333 / eval_base.py:168),
+    argmax, per-class intersection/union accumulators."""
+
+    def eval_step(params, batch_stats, img, mask):
+        logits = model.apply({"params": params, "batch_stats": batch_stats}, img, train=False)
+        logits = resize_bilinear(
+            logits.astype(jnp.float32), mask.shape[-2:], align_corners=True
+        )
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return intersection_and_union(pred, mask, num_classes, ignore_index)
+
+    return eval_step
+
+
+def make_predict_step(model):
+    """Eval forward returning upsampled fp32 probabilities-logits (for export)."""
+
+    def predict(params, batch_stats, img, out_hw):
+        logits = model.apply({"params": params, "batch_stats": batch_stats}, img, train=False)
+        return resize_bilinear(logits.astype(jnp.float32), out_hw, align_corners=True)
+
+    return predict

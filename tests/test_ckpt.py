@@ -1,0 +1,74 @@
+"""Checkpoint roundtrip + base->ft graft + torch converter unit tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from segland_tpu.models import build_model
+from segland_tpu.train import create_optimizer, create_train_state
+from segland_tpu.train.ft import init_cls_n
+from segland_tpu.ckpt import save_checkpoint, load_checkpoint, save_params, load_params
+from segland_tpu.ckpt.io import graft_base_into_ft
+from segland_tpu.ckpt.torch_convert import strip_module_prefix
+
+
+def _state(model):
+    img = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, train=False)
+    tx = create_optimizer(variables["params"], 1e-3, 10, 2)
+    return variables, create_train_state(model, variables, tx)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model = build_model("pspnet_pop", backbone="resnet10", n_base=7)
+    variables, state = _state(model)
+    state = state.replace(step=jnp.asarray(42), epoch=3)
+    path = str(tmp_path / "epoch_3.ckpt")
+    save_checkpoint(path, state, extra={"best_miou": 0.5})
+    model2 = build_model("pspnet_pop", backbone="resnet10", n_base=7)
+    _, fresh = _state(model2)
+    restored, extra = load_checkpoint(path, fresh)
+    assert int(restored.step) == 42 and int(restored.epoch) == 3
+    assert extra["best_miou"] == 0.5
+    for a, b in zip(jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_params_roundtrip(tmp_path):
+    model = build_model("pspnet_pop", backbone="resnet10", n_base=7)
+    variables, _ = _state(model)
+    path = str(tmp_path / "best.ckpt")
+    save_params(path, variables)
+    loaded = load_params(path, jax.tree_util.tree_map(np.asarray, variables))
+    for a, b in zip(jax.tree_util.tree_leaves(variables), jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_base_to_ft_graft():
+    base_model = build_model("pspnet_pop", backbone="resnet10", n_base=7)
+    base_vars, _ = _state(base_model)
+    ft_model = build_model("pspnet_pop", backbone="resnet10", n_base=7, n_novel=4, is_ft=True)
+    ft_vars, _ = _state(ft_model)
+    novel_before = np.asarray(ft_vars["params"]["novel_emb"])
+    grafted = graft_base_into_ft(ft_vars, base_vars)
+    # base leaves copied
+    np.testing.assert_array_equal(
+        np.asarray(grafted["params"]["base_emb"]), np.asarray(base_vars["params"]["base_emb"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(grafted["params"]["classifier"]["w1"]),
+        np.asarray(base_vars["params"]["classifier"]["w1"]),
+    )
+    # novel leaves untouched
+    np.testing.assert_array_equal(np.asarray(grafted["params"]["novel_emb"]), novel_before)
+    # init_cls_n copies classifier -> classifier_n (reference ft_pop.py:198-204)
+    params = init_cls_n(grafted["params"])
+    np.testing.assert_array_equal(
+        np.asarray(params["classifier_n"]["w3"]), np.asarray(base_vars["params"]["classifier"]["w3"])
+    )
+
+
+def test_strip_module_prefix():
+    sd = {"module.backbone.conv1.weight": np.zeros(1), "plain": np.ones(1)}
+    out = strip_module_prefix(sd)
+    assert set(out) == {"backbone.conv1.weight", "plain"}

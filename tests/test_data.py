@@ -1,0 +1,109 @@
+"""Data pipeline tests on synthetic tiles (no OEM data in the image)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from segland_tpu.data import OEMTrainDataset, OEMValDataset, OEMFtTrainDataset, Loader
+from segland_tpu.data import augment as A
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    """Synthetic OEM-like root: images/<id>.tif + labels/<id>.tif + lists."""
+    root = tmp_path_factory.mktemp("oem")
+    (root / "images").mkdir()
+    (root / "labels").mkdir()
+    (root / "list").mkdir()
+    rng = np.random.RandomState(42)
+    ids = [f"tile_{i}" for i in range(6)]
+    for i, tid in enumerate(ids):
+        img = rng.randint(0, 255, (64, 64, 3), np.uint8)
+        # labels cover base classes 1..7 everywhere; tiles 4,5 add novel 8..11
+        lab = rng.randint(1, 8, (64, 64)).astype(np.uint8)
+        if i >= 4:
+            lab[8:24, 8:24] = 8 + (i % 4)
+            lab[30:40, 30:40] = 8 + ((i + 1) % 4)
+        Image.fromarray(img).save(root / "images" / f"{tid}.tif")
+        Image.fromarray(lab).save(root / "labels" / f"{tid}.tif")
+    (root / "list" / "train.txt").write_text("\n".join(ids) + "\n")
+    (root / "list" / "val.txt").write_text("\n".join(ids[:3]) + "\n")
+    # 5-shot support list: novel tiles repeated (4 classes x 5 shots = 20)
+    (root / "list" / "all_5shot_seed123.txt").write_text("\n".join((ids[4:] * 10)[:20]) + "\n")
+    return root
+
+
+def test_normalize_matches_reference_formula(rng):
+    img = rng.randint(0, 255, (8, 8, 3)).astype(np.uint8)
+    out = A.normalize(img, (0.5, 0.5, 0.5), (0.5, 0.5, 0.5))
+    want = (img.astype(np.float32)[:, :, ::-1] / 255.0 - 0.5) / 0.5
+    np.testing.assert_allclose(out, want, rtol=1e-6)
+
+
+def test_train_dataset(data_root):
+    ds = OEMTrainDataset(str(data_root), str(data_root / "list" / "train.txt"), crop_size=(32, 32))
+    assert len(ds) == 6
+    img, lab, tid = ds[0]
+    assert img.shape == (32, 32, 3) and img.dtype == np.float32
+    assert lab.shape == (32, 32) and lab.dtype == np.int32
+    assert set(np.unique(lab)) <= set(range(12)) | {255}
+    # determinism under set_seed
+    ds.set_seed(7)
+    a = ds[1][0]
+    ds.set_seed(7)
+    b = ds[1][0]
+    np.testing.assert_array_equal(a, b)
+
+
+def test_val_dataset_remap(data_root):
+    ds = OEMValDataset(str(data_root), str(data_root / "list" / "val.txt"))
+    img, lab, tid = ds[0]
+    assert img.shape == (64, 64, 3)
+    # base classes already 1..7 -> unchanged; no novel in first tiles
+    assert lab.max() <= 7
+    ds_nb = OEMValDataset(str(data_root), str(data_root / "list" / "val.txt"), use_base=False)
+    _, lab_nb, _ = ds_nb[0]
+    assert lab_nb.max() == 0  # all base classes zeroed
+
+
+def test_ft_dataset_pairs(data_root):
+    ds = OEMFtTrainDataset(
+        str(data_root), str(data_root / "list" / "train.txt"), shot=5, seed=123, crop_size=(32, 32)
+    )
+    # per-class lists were scanned and cached
+    for c in range(1, 8):
+        assert (data_root / "list" / f"train_base_class{c}.txt").exists()
+    assert len(ds) == 35  # 7 base classes x 5 shots
+    img, lab, img_b, lab_b, tid = ds[0]
+    assert img.shape == (32, 32, 3) and img_b.shape == (32, 32, 3)
+    # novel-support sample: background relabeled to ignore
+    assert 0 not in np.unique(lab)
+    old = list(ds.base_id_list)
+    ds.update_base_list()
+    assert len(ds.base_id_list) == len(old)
+
+
+def test_loader_batching(data_root):
+    ds = OEMTrainDataset(str(data_root), str(data_root / "list" / "train.txt"), crop_size=(32, 32))
+    loader = Loader(ds, batch_size=4, shuffle=True, drop_last=True, seed=0)
+    batches = list(loader)
+    assert len(batches) == 1
+    img, lab, ids = batches[0]
+    assert img.shape == (4, 32, 32, 3) and lab.shape == (4, 32, 32)
+    assert len(ids) == 4
+    # epoch changes shuffle order
+    loader.set_epoch(1)
+    ids2 = list(loader)[0][2]
+    assert ids != ids2 or True  # order may coincide; just ensure it runs
+
+
+def test_loader_process_sharding(data_root):
+    ds = OEMTrainDataset(str(data_root), str(data_root / "list" / "train.txt"), crop_size=(32, 32))
+    l0 = Loader(ds, batch_size=4, process_index=0, process_count=2)
+    l1 = Loader(ds, batch_size=4, process_index=1, process_count=2)
+    b0 = list(l0)[0]
+    b1 = list(l1)[0]
+    assert b0[0].shape[0] == 2 and b1[0].shape[0] == 2
+    assert set(b0[2]).isdisjoint(b1[2])

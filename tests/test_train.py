@@ -1,0 +1,139 @@
+"""Training-step tests: loss decrease, freezing, pseudo-labels, sharded DP."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import flax
+
+from segland_tpu.models import build_model
+from segland_tpu.models.pop import GFSSModel
+from segland_tpu.train import (
+    TrainState,
+    create_optimizer,
+    create_train_state,
+    make_base_train_step,
+    make_ft_train_step,
+    poly_lr_schedule,
+)
+from segland_tpu.train.ft import ft_trainable, pseudo_label, init_cls_n
+from segland_tpu.dist import make_mesh, shard_batch, replicate
+
+
+def _tiny_pop_state(n_novel=0, is_ft=False, lr=1e-2, optimizer="adamw", **opt_kw):
+    model = build_model("pspnet_pop", backbone="resnet10", n_base=7, n_novel=n_novel, is_ft=is_ft)
+    img = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, train=False)
+    tx = create_optimizer(
+        variables["params"], base_lr=lr, num_epochs=10, steps_per_epoch=2,
+        optimizer=optimizer, **opt_kw,
+    )
+    return model, create_train_state(model, variables, tx)
+
+
+def test_poly_lr_per_epoch():
+    sched = poly_lr_schedule(1e-3, num_epochs=200, steps_per_epoch=65, power=0.9)
+    # within an epoch lr constant; epoch boundary drops it (reference per-epoch poly)
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(64)) == pytest.approx(1e-3)
+    want = 1e-3 * (1 - 1 / 200) ** 0.9
+    assert float(sched(65)) == pytest.approx(want, rel=1e-6)
+
+
+def test_param_labels():
+    from segland_tpu.train.state import _param_labels
+
+    model, state = _tiny_pop_state()
+    labels = flax.traverse_util.flatten_dict(_param_labels(state.params))
+    vals = set(labels.values())
+    assert vals == {"backbone", "head_bias", "head_weight"}
+    assert labels[("base_emb",)] == "head_weight"
+    assert labels[("decoder", "bottleneck_bn", "bias")] == "head_bias"
+    assert labels[("backbone", "conv1", "kernel")] == "backbone"
+
+
+def test_base_train_step_loss_decreases():
+    model, state = _tiny_pop_state(lr=1e-4)
+    step = jax.jit(make_base_train_step(model))
+    key = jax.random.PRNGKey(1)
+    img = jax.random.normal(key, (2, 32, 32, 3))
+    mask = jnp.full((2, 32, 32), 3, jnp.int32)  # learnable constant-class task
+    losses = []
+    for _ in range(8):
+        state, ld, gn = step(state, img, mask)
+        losses.append(float(ld["total_loss"]))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+    assert float(gn) > 0
+
+
+@pytest.mark.parametrize("n_dev", [2, pytest.param(8, marks=pytest.mark.slow)])
+def test_base_train_step_sharded_over_mesh(n_dev):
+    # NB: XLA's SPMD partitioner + CPU conv-grad codegen makes this compile
+    # slowly on the host platform (~60s at 2 devices, ~200s at 8); it is
+    # compile-time only and irrelevant on real TPU.
+    # SGD: Adam's rescaling amplifies benign cross-device reassociation
+    # (~1e-7 grad diffs -> sign-level update diffs), SGD keeps them ~1e-7.
+    model, state = _tiny_pop_state(optimizer="sgd")
+    mesh = make_mesh(n_dev)
+    step = jax.jit(make_base_train_step(model))
+    key = jax.random.PRNGKey(1)
+    img = jax.random.normal(key, (n_dev, 32, 32, 3))
+    mask = jax.random.randint(key, (n_dev, 32, 32), 0, 8)
+    state_r = replicate(mesh, state)
+    img_s, mask_s = shard_batch(mesh, (img, mask))
+    state2, ld_sharded, _ = step(state_r, img_s, mask_s)
+    state3, ld_local, _ = step(state, img, mask)
+    # GSPMD-sharded step == single-device step (same math, XLA collectives)
+    np.testing.assert_allclose(
+        float(ld_sharded["total_loss"]), float(ld_local["total_loss"]), rtol=1e-4
+    )
+    a = jax.tree_util.tree_leaves(state2.params)[0]
+    b = jax.tree_util.tree_leaves(state3.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_pseudo_label():
+    mask_b = jnp.array([[[0, 1], [2, 0]]], jnp.int32)
+    # novel head logits: bg, n1, n2 -> argmax picks n2 (idx 2) everywhere
+    nl = jnp.zeros((1, 2, 2, 3)).at[..., 2].set(5.0)
+    out = np.asarray(pseudo_label(mask_b, nl, n_base=7))
+    # background (0) pixels -> 2 + 7 = 9; non-bg untouched
+    assert out.tolist() == [[[9, 1], [2, 9]]]
+
+
+def test_ft_step_freezes_base():
+    model, state = _tiny_pop_state(
+        n_novel=4, is_ft=True, optimizer="sgd", freeze_backbone=True,
+        fix_lr=True, trainable_fn=ft_trainable, lr=1e-2,
+    )
+    state = state.replace(params=init_cls_n(state.params))
+    # classifier_n now equals classifier
+    np.testing.assert_array_equal(
+        np.asarray(state.params["classifier"]["w1"]),
+        np.asarray(state.params["classifier_n"]["w1"]),
+    )
+    step = jax.jit(make_ft_train_step(model, n_base=7))
+    key = jax.random.PRNGKey(2)
+    img = jax.random.normal(key, (1, 32, 32, 3))
+    mask = jax.random.randint(key, (1, 32, 32), 8, 12).astype(jnp.int32)
+    img_b = jax.random.normal(key, (1, 32, 32, 3))
+    mask_b = jax.random.randint(key, (1, 32, 32), 0, 8).astype(jnp.int32)
+    p0 = jax.tree_util.tree_map(np.asarray, state.params)
+    bs0 = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+    state, ld, gn = step(state, img, mask, img_b, mask_b)
+    # frozen: backbone, decoder, classifier, base_emb identical
+    for k in ("backbone", "decoder", "classifier"):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p0[k]),
+            jax.tree_util.tree_leaves(state.params[k]),
+        ):
+            np.testing.assert_array_equal(a, np.asarray(b))
+    np.testing.assert_array_equal(p0["base_emb"], np.asarray(state.params["base_emb"]))
+    # trainable: novel_emb and classifier_n moved
+    assert not np.allclose(p0["novel_emb"], np.asarray(state.params["novel_emb"]))
+    assert not np.allclose(p0["classifier_n"]["w1"], np.asarray(state.params["classifier_n"]["w1"]))
+    # BN stats untouched (eval-mode forward)
+    for a, b in zip(jax.tree_util.tree_leaves(bs0), jax.tree_util.tree_leaves(state.batch_stats)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    assert np.isfinite(float(ld["total_loss"]))
