@@ -33,6 +33,10 @@ def get_parser():
     p = argparse.ArgumentParser(description="segland_tpu base training")
     add_common_args(p)
     add_train_args(p)
+    p.add_argument("--resume-from", type=str, default=None,
+                   help="full train-state checkpoint (epoch_N.ckpt) to resume from")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="write a jax.profiler trace of a few steps here")
     return p
 
 
@@ -92,22 +96,37 @@ def main(argv=None):
     train_step = jax.jit(make_base_train_step(model, loss_name), donate_argnums=0)
     eval_step = jax.jit(make_eval_step(model, 1 + n_base, args.ignore_label))
 
+    start_epoch = args.start_epoch
+    if args.resume_from:
+        state, extra = load_checkpoint(args.resume_from, state)
+        start_epoch = int(state.epoch)
+        logger.info(f"resumed from {args.resume_from} at epoch {start_epoch}")
+
     logger.info(f"devices: {jax.device_count()} | steps/epoch: {steps_per_epoch}")
     best_miou, best_epoch = 0.0, 0
-    global_it = args.start_epoch * steps_per_epoch
-    for epoch in range(args.start_epoch, args.num_epoch):
+    global_it = start_epoch * steps_per_epoch
+    for epoch in range(start_epoch, args.num_epoch):
         epoch_log = epoch + 1
         trainset.set_seed(seed + epoch)  # per-epoch reseed (train_base.py:236)
         train_loader.set_epoch(epoch)
+        prof_start = 1 if steps_per_epoch > 1 else 0
+        prof_stop = min(prof_start + 2, steps_per_epoch - 1)
         for i, (img, mask, _) in enumerate(train_loader):
+            if args.profile_dir and epoch == start_epoch and i == prof_start:
+                jax.profiler.start_trace(args.profile_dir)
             img, mask = shard_batch(mesh, (jnp.asarray(img), jnp.asarray(mask)))
             state, ld, gn = train_step(state, img, mask)
+            if args.profile_dir and epoch == start_epoch and i == prof_stop:
+                jax.block_until_ready(ld["total_loss"])
+                jax.profiler.stop_trace()
+                logger.info(f"profiler trace written to {args.profile_dir}")
             global_it += 1
             if i % args.print_frequency == 0:
                 lr = float(lr_fn(global_it - 1)) if not args.fix_lr else args.learning_rate
                 logger.info(format_loss_dict(
                     ld, lr, gn, f"Epoch{epoch_log}/Iters{global_it} Iter{i+1}/{steps_per_epoch}:"))
 
+        state = state.replace(epoch=epoch_log)
         if jax.process_index() == 0 and (epoch_log % args.snapshot_frequency == 0 or epoch_log >= args.num_epoch):
             save_checkpoint(os.path.join(args.snapshot_dir, f"epoch_{epoch_log}.ckpt"), state)
             logger.info("taking snapshot ...")
