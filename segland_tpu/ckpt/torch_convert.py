@@ -162,6 +162,136 @@ _SWIN_SKIP = re.compile(r"relative_position_index$")
 
 _SEQ_RULES += _SWIN_RULES
 
+# --- hrnet backbone (backbone.*) — param names mirror models/backbones/hrnet.py ---
+_HRNET_RULES = []
+for _i, _nm in (("1", "stem1"), ("2", "stem2")):
+    _HRNET_RULES += _conv_rules(rf"backbone\.conv{_i}", lambda m, n=_nm: ("backbone", f"{n}_conv"), has_bias=False)
+    _HRNET_RULES += _bn_rules(rf"backbone\.bn{_i}", lambda m, n=_nm: ("backbone", f"{n}_bn"))
+for _c in ("1", "2", "3"):
+    _HRNET_RULES += _conv_rules(rf"backbone\.layer1\.(\d+)\.conv{_c}",
+                                lambda m, c=_c: ("backbone", f"layer1_{m[1]}_c{c}_conv"), has_bias=False)
+    _HRNET_RULES += _bn_rules(rf"backbone\.layer1\.(\d+)\.bn{_c}",
+                              lambda m, c=_c: ("backbone", f"layer1_{m[1]}_c{c}_bn"))
+_HRNET_RULES += _conv_rules(r"backbone\.layer1\.(\d+)\.downsample\.0",
+                            lambda m: ("backbone", f"layer1_{m[1]}_down_conv"), has_bias=False)
+_HRNET_RULES += _bn_rules(r"backbone\.layer1\.(\d+)\.downsample\.1",
+                          lambda m: ("backbone", f"layer1_{m[1]}_down_bn"))
+# transitions: transition1.{0,1} (branch 1 nested), transition2.2, transition3.3
+_HRNET_RULES += _conv_rules(r"backbone\.transition1\.0\.0", lambda m: ("backbone", "transition1_0_0_conv"), has_bias=False)
+_HRNET_RULES += _bn_rules(r"backbone\.transition1\.0\.1", lambda m: ("backbone", "transition1_0_0_bn"))
+_HRNET_RULES += _conv_rules(r"backbone\.transition1\.1\.0\.0", lambda m: ("backbone", "transition1_1_0_conv"), has_bias=False)
+_HRNET_RULES += _bn_rules(r"backbone\.transition1\.1\.0\.1", lambda m: ("backbone", "transition1_1_0_bn"))
+_HRNET_RULES += _conv_rules(r"backbone\.transition2\.2\.0\.0", lambda m: ("backbone", "transition2_2_0_conv"), has_bias=False)
+_HRNET_RULES += _bn_rules(r"backbone\.transition2\.2\.0\.1", lambda m: ("backbone", "transition2_2_0_bn"))
+_HRNET_RULES += _conv_rules(r"backbone\.transition3\.3\.0\.0", lambda m: ("backbone", "transition3_3_0_conv"), has_bias=False)
+_HRNET_RULES += _bn_rules(r"backbone\.transition3\.3\.0\.1", lambda m: ("backbone", "transition3_3_0_bn"))
+# stage branch blocks (BasicBlock: conv1/bn1/conv2/bn2 [+downsample])
+for _c in ("1", "2"):
+    _HRNET_RULES += _conv_rules(
+        rf"backbone\.stage(\d)\.(\d+)\.branches\.(\d+)\.(\d+)\.conv{_c}",
+        lambda m, c=_c: ("backbone", f"stage{m[1]}_{m[2]}_branches_{m[3]}_{m[4]}_c{c}_conv"), has_bias=False)
+    _HRNET_RULES += _bn_rules(
+        rf"backbone\.stage(\d)\.(\d+)\.branches\.(\d+)\.(\d+)\.bn{_c}",
+        lambda m, c=_c: ("backbone", f"stage{m[1]}_{m[2]}_branches_{m[3]}_{m[4]}_c{c}_bn"))
+_HRNET_RULES += _conv_rules(
+    r"backbone\.stage(\d)\.(\d+)\.branches\.(\d+)\.(\d+)\.downsample\.0",
+    lambda m: ("backbone", f"stage{m[1]}_{m[2]}_branches_{m[3]}_{m[4]}_down_conv"), has_bias=False)
+_HRNET_RULES += _bn_rules(
+    r"backbone\.stage(\d)\.(\d+)\.branches\.(\d+)\.(\d+)\.downsample\.1",
+    lambda m: ("backbone", f"stage{m[1]}_{m[2]}_branches_{m[3]}_{m[4]}_down_bn"))
+# fuse lattices: j>i -> Seq(conv,bn); j<i -> Seq of Seq(conv,bn[,relu])
+_HRNET_RULES += _conv_rules(
+    r"backbone\.stage(\d)\.(\d+)\.fuse_layers\.(\d+)\.(\d+)\.0",
+    lambda m: ("backbone", f"stage{m[1]}_{m[2]}_fuse_{m[3]}_{m[4]}_conv"), has_bias=False)
+_HRNET_RULES += _bn_rules(
+    r"backbone\.stage(\d)\.(\d+)\.fuse_layers\.(\d+)\.(\d+)\.1",
+    lambda m: ("backbone", f"stage{m[1]}_{m[2]}_fuse_{m[3]}_{m[4]}_bn"))
+_HRNET_RULES += _conv_rules(
+    r"backbone\.stage(\d)\.(\d+)\.fuse_layers\.(\d+)\.(\d+)\.(\d+)\.0",
+    lambda m: ("backbone", f"stage{m[1]}_{m[2]}_fuse_{m[3]}_{m[4]}_{m[5]}_conv"), has_bias=False)
+_HRNET_RULES += _bn_rules(
+    r"backbone\.stage(\d)\.(\d+)\.fuse_layers\.(\d+)\.(\d+)\.(\d+)\.1",
+    lambda m: ("backbone", f"stage{m[1]}_{m[2]}_fuse_{m[3]}_{m[4]}_{m[5]}_bn"))
+
+# --- convnext backbone ---
+_CONVNEXT_RULES = []
+_CONVNEXT_RULES += _conv_rules(r"backbone\.downsample_layers\.0\.0", lambda m: ("backbone", "downsample_0_conv"))
+_CONVNEXT_RULES += _ln_rules(r"backbone\.downsample_layers\.0\.1", lambda m: ("backbone", "downsample_0_norm"))
+_CONVNEXT_RULES += _ln_rules(r"backbone\.downsample_layers\.([123])\.0", lambda m: ("backbone", f"downsample_{m[1]}_norm"))
+_CONVNEXT_RULES += _conv_rules(r"backbone\.downsample_layers\.([123])\.1", lambda m: ("backbone", f"downsample_{m[1]}_conv"))
+_CONVNEXT_RULES += _conv_rules(r"backbone\.stages\.(\d)\.(\d+)\.dwconv", lambda m: ("backbone", f"stages_{m[1]}_{m[2]}", "dwconv"))
+_CONVNEXT_RULES += _ln_rules(r"backbone\.stages\.(\d)\.(\d+)\.norm", lambda m: ("backbone", f"stages_{m[1]}_{m[2]}", "norm"))
+_CONVNEXT_RULES += _dense_rules(r"backbone\.stages\.(\d)\.(\d+)\.pwconv1", lambda m: ("backbone", f"stages_{m[1]}_{m[2]}", "pwconv1"))
+_CONVNEXT_RULES += _dense_rules(r"backbone\.stages\.(\d)\.(\d+)\.pwconv2", lambda m: ("backbone", f"stages_{m[1]}_{m[2]}", "pwconv2"))
+_CONVNEXT_RULES += [(re.compile(r"^backbone\.stages\.(\d)\.(\d+)\.gamma$"),
+                     lambda m: ("params", "backbone", f"stages_{m[1]}_{m[2]}", "gamma"), None)]
+
+# --- lsknet backbone ---
+_LSK_RULES = []
+_LSK_RULES += _conv_rules(r"backbone\.patch_embed(\d)\.proj", lambda m: ("backbone", f"patch_embed{m[1]}_proj"))
+_LSK_RULES += _bn_rules(r"backbone\.patch_embed(\d)\.norm", lambda m: ("backbone", f"patch_embed{m[1]}_norm"))
+
+
+def _lsk_blk(m):
+    return ("backbone", f"block{m[1]}_{m[2]}")
+
+
+for _n in ("norm1", "norm2"):
+    _LSK_RULES += _bn_rules(rf"backbone\.block(\d)\.(\d+)\.{_n}", lambda m, n=_n: _lsk_blk(m) + (n,))
+for _cn in ("proj_1", "proj_2"):
+    _LSK_RULES += _conv_rules(rf"backbone\.block(\d)\.(\d+)\.attn\.{_cn}", lambda m, n=_cn: _lsk_blk(m) + ("attn", n))
+for _cn in ("conv0", "conv_spatial", "conv1", "conv2", "conv_squeeze", "conv"):
+    _LSK_RULES += _conv_rules(
+        rf"backbone\.block(\d)\.(\d+)\.attn\.spatial_gating_unit\.{_cn}(?!_)",
+        lambda m, n=_cn: _lsk_blk(m) + ("attn", "spatial_gating_unit", n))
+_LSK_RULES += _conv_rules(r"backbone\.block(\d)\.(\d+)\.mlp\.fc1", lambda m: _lsk_blk(m) + ("mlp_fc1",))
+_LSK_RULES += _conv_rules(r"backbone\.block(\d)\.(\d+)\.mlp\.dwconv\.dwconv", lambda m: _lsk_blk(m) + ("mlp_dwconv",))
+_LSK_RULES += _conv_rules(r"backbone\.block(\d)\.(\d+)\.mlp\.fc2", lambda m: _lsk_blk(m) + ("mlp_fc2",))
+_LSK_RULES += [(re.compile(r"^backbone\.block(\d)\.(\d+)\.layer_scale_([12])$"),
+                lambda m: ("params",) + _lsk_blk(m) + (f"layer_scale_{m[3]}",), None)]
+_LSK_RULES += _ln_rules(r"backbone\.norm(\d)", lambda m: ("backbone", f"norm{m[1]}"))
+
+# --- vgg16bn-unet (torch attr is `net`, ours is `backbone`) ---
+_VGG_RULES = []
+_VGG_SLICES = {  # torch Sequential index -> (flax block, conv idx)
+    "inc": ("enc1", [0, 3]),
+    "down1": ("enc2", [2, 5]),
+    "down2": ("enc3", [2, 5, 8]),
+    "down3": ("enc4", [2, 5, 8]),
+    "down4": ("enc5", [2, 5, 8]),
+}
+for _seg, (_blk_name, _idxs) in _VGG_SLICES.items():
+    for _k, _ti in enumerate(_idxs):
+        _VGG_RULES += _conv_rules(rf"net\.{_seg}\.{_ti}", lambda m, b=_blk_name, k=_k: ("backbone", f"{b}_{k}_conv"))
+        _VGG_RULES += _bn_rules(rf"net\.{_seg}\.{_ti + 1}", lambda m, b=_blk_name, k=_k: ("backbone", f"{b}_{k}_bn"))
+for _u in (1, 2, 3, 4):
+    for _dc, _ti in ((0, 0), (1, 3)):
+        _VGG_RULES += _conv_rules(rf"net\.up{_u}\.conv\.double_conv\.{_ti}",
+                                  lambda m, u=_u, dc=_dc: ("backbone", f"up{u}_dc{dc}_conv"))
+        _VGG_RULES += _bn_rules(rf"net\.up{_u}\.conv\.double_conv\.{_ti + 1}",
+                                lambda m, u=_u, dc=_dc: ("backbone", f"up{u}_dc{dc}_bn"))
+
+_ARCH_RULES = {
+    "hrnet": _HRNET_RULES,
+    "convnext": _CONVNEXT_RULES,
+    "lsknet": _LSK_RULES,
+    "vggunet": _VGG_RULES,
+}
+
+
+def arch_for_backbone(backbone: str | None) -> str | None:
+    if backbone is None:
+        return None
+    if backbone.startswith("hr-"):
+        return "hrnet"
+    if backbone.startswith("convnext"):
+        return "convnext"
+    if backbone.startswith("lsk"):
+        return "lsknet"
+    if backbone.startswith("vgg"):
+        return "vggunet"
+    return None  # resnet/swin handled by the default rule chain
+
 
 def _resnet_path(key: str):
     """backbone.* torch key -> flax path, for the ResNet family."""
@@ -206,17 +336,22 @@ def _leaf_path(prefix: Tuple[str, ...], is_bn: bool, leaf: str):
 
 
 def convert_torch_state_dict(sd: Dict[str, np.ndarray], is_restore: bool = False,
-                             backbone_only: bool = False):
-    """Returns (variables, missing_keys_handled_later, unexpected_keys).
+                             backbone_only: bool = False, arch: str | None = None):
+    """Returns (variables, unexpected_keys).
 
     variables = {'params': ..., 'batch_stats': ...} as a nested dict with
     only the leaves present in sd; merge into a model template with
-    ``merge_variables``.
+    ``merge_variables``.  ``arch`` selects backbone rules when torch key
+    prefixes are ambiguous (hrnet/convnext/lsknet/vggunet); resnet and swin
+    resolve from the default chain.
     """
     if is_restore:
         sd = strip_module_prefix(sd)
     if backbone_only:
         sd = {("backbone." + k): v for k, v in sd.items()}
+
+    arch_rules = _ARCH_RULES.get(arch, [])
+    use_resnet_paths = arch is None
 
     flat = {}
     unexpected = []
@@ -225,7 +360,12 @@ def convert_torch_state_dict(sd: Dict[str, np.ndarray], is_restore: bool = False
             continue
         path = None
         transform = None
-        if key.startswith("backbone."):
+        for pat, path_fn, tf in arch_rules:
+            m = pat.match(key)
+            if m:
+                path, transform = path_fn(m), tf
+                break
+        if path is None and use_resnet_paths and key.startswith("backbone."):
             got = _resnet_path(key)
             if got is not None:
                 path, transform = got
@@ -264,9 +404,9 @@ def merge_variables(template: dict, converted: dict, strict_shapes: bool = True)
 
 
 def load_torch_checkpoint(path: str, template: dict, is_restore: bool = False,
-                          backbone_only: bool = False):
+                          backbone_only: bool = False, arch: str | None = None):
     """One-call: torch .pth -> merged flax variables (non-strict)."""
     sd = _load_torch(path)
-    converted, unexpected = convert_torch_state_dict(sd, is_restore, backbone_only)
+    converted, unexpected = convert_torch_state_dict(sd, is_restore, backbone_only, arch)
     variables, missing, loaded = merge_variables(template, converted)
     return variables, {"missing": missing, "unexpected": unexpected, "loaded": len(loaded)}

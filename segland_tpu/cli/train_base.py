@@ -24,7 +24,7 @@ from ..losses import get_loss
 from ..metrics import miou_from_cmatrix
 from ..dist import make_mesh, shard_batch, replicate
 from ..ckpt import save_checkpoint, load_checkpoint, save_params
-from ..ckpt.torch_convert import load_torch_checkpoint
+from ..ckpt.torch_convert import load_torch_checkpoint, arch_for_backbone
 from ..utils import prep_experiment, format_loss_dict
 from ..train.state import poly_lr_schedule
 
@@ -71,6 +71,7 @@ def main(argv=None):
             variables, info = load_torch_checkpoint(
                 args.restore_from, jax.tree_util.tree_map(np.asarray, variables),
                 is_restore=not args.finetune, backbone_only=args.finetune,
+                arch=arch_for_backbone(args.backbone),
             )
             logger.info(f"restored torch ckpt: {info['loaded']} leaves, "
                         f"{len(info['missing'])} missing, {len(info['unexpected'])} unexpected")

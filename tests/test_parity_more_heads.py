@@ -1,0 +1,68 @@
+"""Parity vs the torch reference for the remaining head families:
+deeplab_pop (ASPP), convnext_pop (FPN-OCR), lsk_pop (gated FPN),
+seghr_pop (HRNet + HRFPN), vggunet_pop. All slow-marked (full compiles)."""
+
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from segland_tpu.models import build_model
+from segland_tpu.ckpt.torch_convert import convert_torch_state_dict, merge_variables
+
+from reference_harness import import_reference
+
+
+def _parity(ref_model, our_model, size, rng, arch=None, tol=1e-3):
+    ref_model.eval()
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    converted, unexpected = convert_torch_state_dict(sd, arch=arch)
+    assert not unexpected, f"unconverted keys: {unexpected[:10]}"
+    img0 = jnp.zeros((1, size, size, 3), jnp.float32)
+    template = our_model.init(jax.random.PRNGKey(0), img0, train=False)
+    template = jax.tree_util.tree_map(np.asarray, template)
+    variables, missing, _ = merge_variables(template, converted)
+    assert not missing, f"missing leaves: {missing[:10]}"
+    x = rng.randn(1, 3, size, size).astype(np.float32)
+    with torch.no_grad():
+        want = ref_model(torch.from_numpy(x)).numpy()
+    got = our_model.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))), train=False)
+    got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+
+
+@pytest.mark.slow
+def test_deeplab_pop_parity(rng):
+    nets = import_reference()
+    torch.manual_seed(0)
+    ref = nets.deeplab_pop.GFSS_Model(n_base=7, criterion=None, backbone="resnet50", os=8, dilated=True)
+    ours = build_model("deeplab_pop", backbone="resnet50", n_base=7)
+    _parity(ref, ours, 64, rng)
+
+
+@pytest.mark.slow
+def test_convnext_pop_parity(rng):
+    nets = import_reference()
+    torch.manual_seed(0)
+    ref = nets.convnext_pop.GFSS_Model(n_base=7, criterion=None, backbone="convnext-t")
+    ours = build_model("convnext_pop", backbone="convnext-t", n_base=7)
+    _parity(ref, ours, 64, rng, arch="convnext")
+
+
+@pytest.mark.slow
+def test_lsk_pop_parity(rng):
+    nets = import_reference()
+    torch.manual_seed(0)
+    ref = nets.lsk_pop.GFSS_Model(n_base=7, criterion=None, backbone="lsk-t")
+    ours = build_model("lsk_pop", backbone="lsk-t", n_base=7)
+    _parity(ref, ours, 64, rng, arch="lsknet")
+
+
+@pytest.mark.slow
+def test_seghr_pop_parity(rng):
+    nets = import_reference()
+    torch.manual_seed(0)
+    ref = nets.seghr_pop.GFSS_Model(n_base=7, criterion=None, backbone="hr-w18")
+    ours = build_model("seghr_pop", backbone="hr-w18", n_base=7)
+    _parity(ref, ours, 64, rng, arch="hrnet")
