@@ -70,7 +70,7 @@ def main(argv=None):
 
     valset = OEMValDataset(args.data_dir, args.val_list, base_size=crop,
                            use_novel=True, use_base=True)
-    loader = Loader(valset, batch, shuffle=False, drop_last=False)
+    loader = Loader(valset, batch, shuffle=False, drop_last=False, num_workers=args.num_workers)
 
     results = {}
     for seed_str in args.random_seed.split(","):

@@ -60,6 +60,7 @@ def run_seed(args, seed, crop, base_size, logger):
     train_loader = Loader(
         trainset, args.batch_size, shuffle=True, drop_last=True, seed=seed,
         process_index=jax.process_index(), process_count=jax.process_count(),
+        num_workers=args.num_workers,
     )
     val_loader = Loader(valset, 1, shuffle=False)
 

@@ -53,6 +53,7 @@ def main(argv=None):
     train_loader = Loader(
         trainset, args.batch_size, shuffle=True, drop_last=True, seed=seed,
         process_index=jax.process_index(), process_count=jax.process_count(),
+        num_workers=args.num_workers,
     )
     val_loader = Loader(valset, 1, shuffle=False)
 

@@ -10,6 +10,7 @@ equivalent).  ``drop_last`` matches the reference train loader.
 import queue
 import random as _random
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional
 
 import numpy as np
@@ -30,7 +31,7 @@ class Loader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  drop_last: bool = False, seed: int = 0,
                  process_index: int = 0, process_count: int = 1,
-                 prefetch: int = 2):
+                 prefetch: int = 2, num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -40,6 +41,9 @@ class Loader:
         self.process_index = process_index
         self.process_count = process_count
         self.prefetch = prefetch
+        # intra-batch parallel decode (PIL/rasterio release the GIL);
+        # replaces torch DataLoader workers (reference engine.py:81-96)
+        self.num_workers = num_workers
         if batch_size % process_count != 0:
             raise ValueError("global batch must divide process count")
         self.local_batch = batch_size // process_count
@@ -66,12 +70,21 @@ class Loader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
 
+        pool = ThreadPoolExecutor(self.num_workers) if self.num_workers > 0 else None
+
+        def fetch(chunk):
+            if pool is not None and len(chunk) > 1:
+                return _collate(list(pool.map(self.dataset.__getitem__, chunk)))
+            return _collate([self.dataset[i] for i in chunk])
+
         def worker():
             try:
                 for chunk in self._indices():
-                    q.put(_collate([self.dataset[i] for i in chunk]))
+                    q.put(fetch(chunk))
             finally:
                 q.put(stop)
+                if pool is not None:
+                    pool.shutdown(wait=False)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

@@ -72,6 +72,7 @@ class WindowAttention(nn.Module):
     dim: int
     num_heads: int
     window_size: int = 7
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -82,10 +83,6 @@ class WindowAttention(nn.Module):
         hd = c // nh
         ws = self.window_size
         qkv = nn.Dense(3 * c, use_bias=True, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b_, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]  # [B_, nh, N, hd]
-        q = q * (hd ** -0.5)
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k)
 
         table = self.param(
             "relative_position_bias_table",
@@ -94,16 +91,29 @@ class WindowAttention(nn.Module):
         )
         idx = _rel_pos_index(ws).reshape(-1)
         bias = table[idx].reshape(n, n, nh).transpose(2, 0, 1)  # [nh,N,N]
-        attn = attn + bias[None].astype(attn.dtype)
 
-        if mask is not None:
-            nw = mask.shape[0]
-            m = jnp.asarray(mask, attn.dtype)
-            attn = attn.reshape(b_ // nw, nw, nh, n, n) + m[None, :, None]
-            attn = attn.reshape(b_, nh, n, n)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        if self.use_pallas:
+            from ...ops.pallas_attn import window_attention_fused
+
+            if mask is None:
+                bias_arr = bias[None].astype(jnp.float32)  # [1,nh,N,N]
+            else:
+                bias_arr = (bias[None].astype(jnp.float32)
+                            + jnp.asarray(mask, jnp.float32)[:, None])  # [nW,nh,N,N]
+            out = window_attention_fused(qkv, bias_arr, nh)
+        else:
+            q3 = qkv.reshape(b_, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+            q, k, v = q3[0], q3[1], q3[2]  # [B_, nh, N, hd]
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q * (hd ** -0.5), k)
+            attn = attn + bias[None].astype(attn.dtype)
+            if mask is not None:
+                nw = mask.shape[0]
+                m = jnp.asarray(mask, attn.dtype)
+                attn = attn.reshape(b_ // nw, nw, nh, n, n) + m[None, :, None]
+                attn = attn.reshape(b_, nh, n, n)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+            out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 
@@ -113,6 +123,7 @@ class SwinBlock(nn.Module):
     window_size: int = 7
     shift_size: int = 0
     mlp_ratio: float = 4.0
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -134,7 +145,7 @@ class SwinBlock(nn.Module):
         else:
             mask = None
         wins = _window_partition(x, ws)
-        wins = WindowAttention(self.dim, self.num_heads, ws, self.dtype, name="attn")(wins, mask)
+        wins = WindowAttention(self.dim, self.num_heads, ws, self.use_pallas, self.dtype, name="attn")(wins, mask)
         x = _window_reverse(wins, ws, b, hp, wp)
         if self.shift_size > 0:
             x = jnp.roll(x, (self.shift_size, self.shift_size), axis=(1, 2))
@@ -174,6 +185,7 @@ class SwinTransformer(nn.Module):
     embed_dim: int = 96
     window_size: int = 7
     patch_size: int = 4
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -195,6 +207,7 @@ class SwinTransformer(nn.Module):
                 x = SwinBlock(
                     dim, self.num_heads[i], self.window_size,
                     shift_size=0 if j % 2 == 0 else self.window_size // 2,
+                    use_pallas=self.use_pallas,
                     dtype=self.dtype, name=f"layers_{i}_blocks_{j}",
                 )(x)
             out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"out_norm{i}")(x)
@@ -204,6 +217,6 @@ class SwinTransformer(nn.Module):
         return outs  # fine->coarse [stage0..stage3]
 
 
-def get_swin(name: str, dtype=jnp.float32) -> SwinTransformer:
+def get_swin(name: str, dtype=jnp.float32, use_pallas: bool = False) -> SwinTransformer:
     cfg = _CONFIGS[name]
-    return SwinTransformer(dtype=dtype, **cfg)
+    return SwinTransformer(dtype=dtype, use_pallas=use_pallas, **cfg)

@@ -99,6 +99,16 @@ def test_loader_batching(data_root):
     assert ids != ids2 or True  # order may coincide; just ensure it runs
 
 
+def test_loader_num_workers(data_root):
+    ds = OEMTrainDataset(str(data_root), str(data_root / "list" / "train.txt"), crop_size=(32, 32))
+    l0 = Loader(ds, batch_size=4, shuffle=False, num_workers=0)
+    l4 = Loader(ds, batch_size=4, shuffle=False, num_workers=4)
+    a = list(l0)[0]
+    ds.set_seed(123)  # reset RNG so augs match
+    b = list(l4)[0]
+    assert a[0].shape == b[0].shape and a[2] == b[2]
+
+
 def test_loader_process_sharding(data_root):
     ds = OEMTrainDataset(str(data_root), str(data_root / "list" / "train.txt"), crop_size=(32, 32))
     l0 = Loader(ds, batch_size=4, process_index=0, process_count=2)
