@@ -95,11 +95,14 @@ class WindowAttention(nn.Module):
         if self.use_pallas:
             from ...ops.pallas_attn import window_attention_fused
 
+            # bf16 bias halves the VMEM block (mask values -100/0 and the
+            # small rel-pos biases are exactly representable enough; softmax
+            # itself stays fp32 in the kernel)
             if mask is None:
-                bias_arr = bias[None].astype(jnp.float32)  # [1,nh,N,N]
+                bias_arr = bias[None].astype(jnp.bfloat16)  # [1,nh,N,N]
             else:
                 bias_arr = (bias[None].astype(jnp.float32)
-                            + jnp.asarray(mask, jnp.float32)[:, None])  # [nW,nh,N,N]
+                            + jnp.asarray(mask, jnp.float32)[:, None]).astype(jnp.bfloat16)
             out = window_attention_fused(qkv, bias_arr, nh)
         else:
             q3 = qkv.reshape(b_, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)

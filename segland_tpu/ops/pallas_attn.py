@@ -6,6 +6,13 @@ HBM several times per block (logits, +bias, softmax) — and 49 is far off the
 kernel keeps the whole attention core (q@k^T, +rel-pos-bias(+shift-mask),
 fp32 softmax, @v) in VMEM: HBM traffic drops to qkv in / out once.
 
+Measured (v5e via axon tunnel, stage2-like shape 800 windows x 12 heads,
+bf16): numerically identical to the XLA path, ~2% faster steady-state, but
+~244s Mosaic AOT compile per distinct shape over the tunnel (vs 3s XLA).
+Kept OPT-IN (SwinTransformer(use_pallas=True)); on a local TPU runtime the
+compile cost amortizes and the VMEM-resident form should win more — revisit
+when profiling is available.
+
 Layout contract (prepared by models/backbones/swin.py):
   qkv:  [NW, N, 3C]   window-partitioned (NW = B * nW_img), N = ws*ws
   bias: [nW_img, nh, N, N] rel-pos bias (+ shift mask for shifted blocks);
@@ -62,8 +69,23 @@ def window_attention_fused(qkv: jnp.ndarray, bias: jnp.ndarray, num_heads: int,
     assert nw % max(nw_img, 1) == 0, (nw, nw_img)
 
     if wblk is None:
-        # fp32 attn scratch per head iteration ~ wblk*n*n*4; keep a few MB
-        budget = max(1, (4 * 1024 * 1024) // (n * n * 4))
+        # Physical VMEM per window (TPU pads the trailing dims to the
+        # (sublane, 128-lane) tile): qkv + out blocks are double-buffered,
+        # bias likewise; plus fp32 attention scratch. Stay under ~10 MB of
+        # the 16 MB scoped limit.
+        def ceil_to(v, m):
+            return -(-v // m) * m
+
+        n_pad = ceil_to(n, 8)
+        lanes = ceil_to(n, 128)
+        itemsize = qkv.dtype.itemsize
+        per_win = (
+            2 * n_pad * ceil_to(3 * c, 128) * itemsize  # qkv (double-buffered)
+            + 2 * n_pad * ceil_to(c, 128) * itemsize    # out
+            + 2 * num_heads * n_pad * lanes * bias.dtype.itemsize  # bias
+            + 3 * n_pad * lanes * 4                      # fp32 attn scratch
+        )
+        budget = max(1, (10 * 1024 * 1024) // per_win)
         limit = nw_img if nw_img > 1 else nw
         wblk = 1
         for cand in range(min(budget, limit), 0, -1):

@@ -1,0 +1,79 @@
+"""Host-only tool CLIs: translabel, get_list, gen_fs_list, gen_new_samples."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture()
+def label_dir(tmp_path):
+    d = tmp_path / "labels"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 12, (16, 16)).astype(np.uint8)).save(d / f"t{i}.tif")
+    return d
+
+
+def test_translabel(label_dir, tmp_path):
+    from segland_tpu.cli.translabel import main
+
+    out = tmp_path / "colored"
+    main(["--input", str(label_dir), "--output", str(out)])
+    assert sorted(os.listdir(out)) == ["t0.tif", "t1.tif", "t2.tif"]
+    img = Image.open(out / "t0.tif")
+    assert img.mode == "P"  # palette (colormapped)
+
+
+def test_get_list(label_dir, tmp_path):
+    from segland_tpu.cli.get_list import main
+
+    tr, te = tmp_path / "tr.txt", tmp_path / "te.txt"
+    main(["--input", str(label_dir), "--train-out", str(tr), "--test-out", str(te), "--seed", "0"])
+    lines = tr.read_text().splitlines() + te.read_text().splitlines()
+    assert sorted(lines) == ["t0.tif", "t1.tif", "t2.tif"]
+
+
+def test_gen_fs_list(tmp_path):
+    from segland_tpu.cli.gen_fs_list import main
+
+    root = tmp_path / "oem"
+    (root / "labels").mkdir(parents=True)
+    (root / "list").mkdir()
+    rng = np.random.RandomState(1)
+    ids = []
+    for i in range(8):
+        lab = rng.randint(1, 8, (16, 16)).astype(np.uint8)
+        lab[:4, :4] = 8 + (i % 4)  # every tile contains one novel class
+        Image.fromarray(lab).save(root / "labels" / f"t{i}.tif")
+        ids.append(f"t{i}")
+    (root / "list" / "train.txt").write_text("\n".join(ids))
+    main(["--data-dir", str(root), "--train-list", str(root / "list" / "train.txt"),
+          "--shot", "2", "--seed", "9"])
+    out = (root / "list" / "all_2shot_seed9.txt").read_text().splitlines()
+    assert len(out) == 8  # 4 novel classes x 2 shots
+
+
+def test_gen_new_samples(tmp_path):
+    from segland_tpu.cli.gen_new_samples import main
+
+    cm = tmp_path / "cutmix"
+    cls = "Parking space"
+    (cm / cls / f"{cls}_image").mkdir(parents=True)
+    (cm / cls / f"{cls}_mask").mkdir(parents=True)
+    rng = np.random.RandomState(2)
+    for i in range(2):
+        mask = np.zeros((16, 16), np.uint8)
+        mask[2:6, 2:6] = 30  # sentinel
+        Image.fromarray(mask).save(cm / cls / f"{cls}_mask" / f"tile{i}_a.tif")
+        Image.fromarray(rng.randint(0, 255, (16, 16, 3), np.uint8)).save(
+            cm / cls / f"{cls}_image" / f"tile{i}.tif")
+    out = tmp_path / "out"
+    main(["--cutmix-root", str(cm), "--output-root", str(out),
+          "--class-names", cls, "--indexes", "9"])
+    lst = (out / "train.txt").read_text().splitlines()
+    assert len(lst) == 2
+    lab = np.asarray(Image.open(out / "label" / f"{lst[0]}.tif"))
+    assert 30 not in np.unique(lab) and 9 in np.unique(lab)  # sentinel remapped
