@@ -37,6 +37,9 @@ def get_parser():
                    help="full train-state checkpoint (epoch_N.ckpt) to resume from")
     p.add_argument("--profile-dir", type=str, default=None,
                    help="write a jax.profiler trace of a few steps here")
+    p.add_argument("--double-step", action="store_true",
+                   help="replicate the reference's double optimizer.step quirk "
+                        "(train_base.py:262-264) for strict parity experiments")
     return p
 
 
@@ -95,7 +98,7 @@ def main(argv=None):
 
     mesh = make_mesh(math.gcd(jax.device_count(), args.batch_size))
     state = replicate(mesh, state)
-    train_step = jax.jit(make_base_train_step(model, loss_name), donate_argnums=0)
+    train_step = jax.jit(make_base_train_step(model, loss_name, double_step=args.double_step), donate_argnums=0)
     eval_step = jax.jit(make_eval_step(model, 1 + n_base, args.ignore_label))
 
     start_epoch = args.start_epoch

@@ -17,9 +17,15 @@ from ..metrics import intersection_and_union
 from ..ops.resize import resize_bilinear
 
 
-def make_base_train_step(model, loss_name: str = "orth"):
+def make_base_train_step(model, loss_name: str = "orth", double_step: bool = False):
     """Returns train_step(state, img [B,H,W,3], mask [B,H,W]) ->
-    (state, loss_dict, grad_norm)."""
+    (state, loss_dict, grad_norm).
+
+    double_step replicates a reference quirk: train_base.py:262-264 calls
+    optimizer.step() a second time after the AMP scaler already stepped, so
+    each gradient is applied twice (advancing Adam moments twice). Off by
+    default; enable only for strict behavioral-parity experiments.
+    """
     is_pop = loss_name == "orth"
 
     def train_step(state, img, mask):
@@ -44,6 +50,8 @@ def make_base_train_step(model, loss_name: str = "orth"):
         state = state.apply_gradients(
             grads=grads, batch_stats=new_model_state["batch_stats"]
         )
+        if double_step:
+            state = state.apply_gradients(grads=grads)
         return state, ld, grad_norm
 
     return train_step

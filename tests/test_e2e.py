@@ -120,3 +120,25 @@ def test_ft_pop_cli(data_root, tmp_path_factory):
     )
     assert 123 in results
     assert os.path.exists(os.path.join(ft_snap, "best_123.ckpt")) or results[123]["base"] == 0.0
+    test_ft_pop_cli.snap = ft_snap
+
+
+def test_eval_ft_cli(data_root, tmp_path_factory):
+    from segland_tpu.cli.eval_ft import main
+
+    ft_snap = getattr(test_ft_pop_cli, "snap", None)
+    assert ft_snap, "ft test must run first"
+    ckpt = os.path.join(ft_snap, "best_123.ckpt")
+    if not os.path.exists(ckpt):
+        pytest.skip("ft produced no best ckpt on this toy task")
+    out = str(tmp_path_factory.mktemp("eval_ft_out"))
+    # eval_ft: seeded ckpt resolution (best.ckpt -> best_123.ckpt), 12-class
+    # square-longside protocol (reference eval_ft.py:154,168-178)
+    results = main(
+        ["--data-dir", str(data_root), "--val-list", str(data_root / "list" / "val.txt"),
+         "--restore-from", os.path.join(ft_snap, "best.ckpt"), "--save-path", out,
+         "--base-size", "64,64", "--eval-batch", "2"] + COMMON
+    )
+    base, novel, total, tps = results[123]
+    assert 0.0 <= base <= 1.0
+    assert os.path.exists(os.path.join(out, "cmatrix_123.npy"))

@@ -1,0 +1,40 @@
+"""Tiled large-scene inference: stitched result == whole-scene forward."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from segland_tpu.evallib.tiled import predict_scene, _tile_starts
+
+
+def test_tile_starts():
+    assert _tile_starts(1024, 1024, 896) == [0]
+    assert _tile_starts(2048, 1024, 896) == [0, 896, 1024]
+    assert _tile_starts(500, 1024, 896) == [0]
+
+
+def test_predict_scene_matches_whole_forward():
+    # a spatially-local "model": 3x3 mean conv + linear head -> the tiled
+    # stitched logits must match the whole-scene forward away from borders,
+    # and exactly where tiles fully cover (overlap-averaged identical values)
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (3, 5))
+
+    def forward(x):  # [B,H,W,3] -> [B,H,W,5]
+        return jnp.einsum("bhwc,ck->bhwk", x, w)
+
+    predict = jax.jit(forward)
+    scene = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (100, 130, 3)), np.float32)
+    logits, pred = predict_scene(lambda t: predict(jnp.asarray(t)), scene, 5, tile=64, overlap=16, batch=2)
+    want = np.asarray(forward(jnp.asarray(scene)[None]))[0]
+    np.testing.assert_allclose(logits, want, rtol=1e-5, atol=1e-5)
+    assert pred.shape == (100, 130)
+
+
+def test_predict_scene_small_scene_pads():
+    def forward(t):
+        return jnp.ones(t.shape[:3] + (4,))
+
+    logits, pred = predict_scene(forward, np.zeros((30, 40, 3), np.float32), 4, tile=64, overlap=8)
+    assert logits.shape == (30, 40, 4)
+    assert pred.shape == (30, 40)
