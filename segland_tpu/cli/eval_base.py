@@ -30,6 +30,9 @@ def get_parser():
     p.add_argument("--is-ft", action="store_true", help="evaluate a fine-tuned (base+novel) model")
     p.add_argument("--eval-batch", type=int, default=None,
                    help="tiles per device batch (default: 1 per device)")
+    p.add_argument("--device-normalize", action="store_true",
+                   help="transfer raw uint8 tiles and normalize on device "
+                        "(4x less host->device traffic)")
     return p
 
 
@@ -69,7 +72,8 @@ def main(argv=None):
     batch = args.eval_batch or jax.device_count()
 
     valset = OEMValDataset(args.data_dir, args.val_list, base_size=crop,
-                           use_novel=True, use_base=True)
+                           use_novel=True, use_base=True,
+                           device_normalize=args.device_normalize)
     loader = Loader(valset, batch, shuffle=False, drop_last=False, num_workers=args.num_workers)
 
     results = {}
@@ -78,7 +82,8 @@ def main(argv=None):
         variables = _load_variables(args, model, crop, seed, logger)
         evaluator = Evaluator(model, variables, num_classes=args.num_classes,
                               n_base=n_base, ignore_label=args.ignore_label,
-                              mesh=mesh if jax.device_count() > 1 else None)
+                              mesh=mesh if jax.device_count() > 1 else None,
+                              normalize_on_device=args.device_normalize)
         save_path = args.save_path
         prob_path = os.path.join(save_path, "prob") if not args.is_ft else None
         os.makedirs(save_path, exist_ok=True)

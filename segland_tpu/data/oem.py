@@ -75,13 +75,19 @@ class OEMValDataset:
 
     def __init__(self, root: str, list_path: str, base_size=(1024, 1024),
                  resize_label: bool = False, use_novel: bool = True,
-                 use_base: bool = True, ignore_label: int = 255):
+                 use_base: bool = True, ignore_label: int = 255,
+                 device_normalize: bool = False):
         self.root = root
         self.base_size = tuple(base_size)
         self.resize_label = resize_label
         self.use_novel = use_novel
         self.use_base = use_base
         self.ignore_label = ignore_label
+        # device_normalize: return raw uint8 tiles; the consumer fuses the
+        # BGR-flip/scale/normalize into the jitted forward (4x less
+        # host->device traffic + no host float math). TPU-first path; the
+        # numpy normalize stays for reference-exact parity tests.
+        self.device_normalize = device_normalize
         with open(list_path) as f:
             self.ids = f.read().splitlines()
 
@@ -103,6 +109,11 @@ class OEMValDataset:
                     new_label[label == c] = 0
         return new_label
 
+    def _normalize(self, image):
+        if self.device_normalize:
+            return image  # raw uint8 HWC; normalization fused on device
+        return A.normalize(image, A.IMAGENET_MEAN, A.IMAGENET_STD)
+
     def __getitem__(self, index: int):
         tid = self.ids[index]
         image = read_image(osp.join(self.root, "images", f"{tid}.tif"))
@@ -111,10 +122,10 @@ class OEMValDataset:
             label = self.remap(read_label(label_path).astype(np.int32))
             if self.resize_label:
                 image, label = A.resize_to_base(image, label, self.base_size)
-                image = A.normalize(image, A.IMAGENET_MEAN, A.IMAGENET_STD)
+                image = self._normalize(image)
                 image, label = A.pad(self.base_size, image, label, self.ignore_label)
             else:
-                image = A.normalize(image, A.IMAGENET_MEAN, A.IMAGENET_STD)
+                image = self._normalize(image)
             return np.ascontiguousarray(image), np.ascontiguousarray(label), tid
-        image = A.normalize(image, A.IMAGENET_MEAN, A.IMAGENET_STD)
+        image = self._normalize(image)
         return np.ascontiguousarray(image), None, tid

@@ -23,16 +23,27 @@ from ..data.tileio import write_pred_tiff, write_prob_mat, OEM_COLORMAP, OEM_COL
 
 class Evaluator:
     def __init__(self, model, variables, num_classes: int = 12, n_base: int = 7,
-                 ignore_label: int = 255, mesh=None):
+                 ignore_label: int = 255, mesh=None,
+                 normalize_on_device: bool = False,
+                 mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225)):
         self.model = model
         self.variables = variables
         self.num_classes = num_classes
         self.n_base = n_base
         self.ignore_label = ignore_label
         self.mesh = mesh
+        # fused on-device preprocessing: accept raw uint8 tiles and do the
+        # BGR-flip + /255 + mean/std inside the jitted forward (the host
+        # normalize in dataset/base_dataset.py:29-34 moved on-device)
+        self.normalize_on_device = normalize_on_device
+        self._mean = jnp.asarray(mean, jnp.float32)
+        self._std = jnp.asarray(std, jnp.float32)
         self._predict = jax.jit(self._predict_fn, static_argnames=("out_h", "out_w"))
 
     def _predict_fn(self, variables, img, out_h, out_w):
+        if self.normalize_on_device:
+            img = img[..., ::-1].astype(jnp.float32) / 255.0
+            img = (img - self._mean) / self._std
         logits = self.model.apply(variables, img, train=False)
         logits = resize_bilinear(logits.astype(jnp.float32), (out_h, out_w), align_corners=True)
         pred = jnp.argmax(logits, axis=-1).astype(jnp.uint8)

@@ -38,3 +38,21 @@ def test_predict_scene_small_scene_pads():
     logits, pred = predict_scene(forward, np.zeros((30, 40, 3), np.float32), 4, tile=64, overlap=8)
     assert logits.shape == (30, 40, 4)
     assert pred.shape == (30, 40)
+
+
+def test_device_normalize_matches_host():
+    import jax
+    from segland_tpu.models import build_model
+    from segland_tpu.evallib import Evaluator
+    from segland_tpu.data import augment as A
+
+    model = build_model("pspnet_pop", backbone="resnet10", n_base=7)
+    img_u8 = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(0), (1, 32, 32, 3), 0, 255), np.uint8)
+    variables = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)), train=False)
+    host = Evaluator(model, variables, num_classes=8)
+    dev = Evaluator(model, variables, num_classes=8, normalize_on_device=True)
+    img_f = A.normalize(img_u8[0], A.IMAGENET_MEAN, A.IMAGENET_STD)[None]
+    lg_host, pred_host = host.predict_batch(img_f.astype(np.float32), (32, 32))
+    lg_dev, pred_dev = dev.predict_batch(img_u8, (32, 32))
+    np.testing.assert_allclose(np.asarray(lg_dev), np.asarray(lg_host), rtol=1e-4, atol=1e-4)
