@@ -9,15 +9,25 @@ import os
 def apply_platform_env():
     """Honor JAX_PLATFORMS even when a sitecustomize pre-registered a backend
     at interpreter start (platform selection is lazy, so a config update
-    before first device use still wins)."""
+    before first device use still wins).  Also enable the persistent
+    compilation cache so repeated CLI invocations skip the 30-300s TPU
+    compiles."""
+    import jax
+
     plat = os.environ.get("JAX_PLATFORMS")
     if plat:
-        import jax
-
         try:
             jax.config.update("jax_platforms", plat)
         except Exception:
             pass
+    try:
+        cache_dir = os.environ.get(
+            "SEGLAND_COMPILE_CACHE", os.path.expanduser("~/.cache/segland_tpu/jax"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
 
 apply_platform_env()

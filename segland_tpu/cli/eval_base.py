@@ -12,7 +12,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .common import add_common_args, parse_hw, model_dtype
+from .common import add_common_args, parse_hw, model_dtype, str2bool
 from ..data import OEMValDataset, Loader
 from ..models import build_model
 from ..evallib import Evaluator
@@ -30,6 +30,10 @@ def get_parser():
     p.add_argument("--is-ft", action="store_true", help="evaluate a fine-tuned (base+novel) model")
     p.add_argument("--eval-batch", type=int, default=None,
                    help="tiles per device batch (default: 1 per device)")
+    p.add_argument("--save", type=str2bool, default=True,
+                   help="write colormapped GTiff predictions for unlabeled tiles")
+    p.add_argument("--save-prob", type=str2bool, default=True,
+                   help="write per-tile .mat probability maps (for ensemble fusion)")
     p.add_argument("--device-normalize", action="store_true",
                    help="transfer raw uint8 tiles and normalize on device "
                         "(4x less host->device traffic)")
@@ -38,8 +42,16 @@ def get_parser():
 
 def _load_variables(args, model, crop, seed, logger):
     img0 = jnp.zeros((1,) + crop + (3,), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), img0, train=False)
-    variables = jax.tree_util.tree_map(np.asarray, variables)
+    if args.restore_from:
+        # full checkpoint restore: build the variable TEMPLATE on host from
+        # shapes only (no device init, no weight round-trip over the tunnel)
+        shapes = jax.eval_shape(lambda k, x: model.init(k, x, train=False),
+                                jax.random.PRNGKey(0), img0)
+        variables = jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), shapes)
+    else:
+        variables = jax.jit(lambda k, x: model.init(k, x, train=False))(jax.random.PRNGKey(0), img0)
+        variables = jax.tree_util.tree_map(np.asarray, variables)
     path = args.restore_from
     if args.is_ft and path and not path.endswith(".pth"):
         # reference eval_ft.py:154: restore_from[:-4] + '_<seed>.pth'
@@ -84,9 +96,10 @@ def main(argv=None):
                               n_base=n_base, ignore_label=args.ignore_label,
                               mesh=mesh if jax.device_count() > 1 else None,
                               normalize_on_device=args.device_normalize)
-        save_path = args.save_path
-        prob_path = os.path.join(save_path, "prob") if not args.is_ft else None
-        os.makedirs(save_path, exist_ok=True)
+        save_path = args.save_path if args.save else None
+        prob_path = (os.path.join(args.save_path, "prob")
+                     if (args.save_prob and not args.is_ft) else None)
+        os.makedirs(args.save_path, exist_ok=True)
         if prob_path:
             os.makedirs(prob_path, exist_ok=True)
         cm, (base, novel, total, iou), tps = evaluator.run(
@@ -95,7 +108,7 @@ def main(argv=None):
             colormap=OEM_COLORMAP_FT if args.is_ft else OEM_COLORMAP,
             square_pad_eval=args.is_ft, logger=logger,
         )
-        np.save(os.path.join(save_path, f"cmatrix_{seed}.npy"), cm)
+        np.save(os.path.join(args.save_path, f"cmatrix_{seed}.npy"), cm)
         logger.info(f">>>>>>> Current Seed {seed}: <<<<<<<")
         logger.info(f"meanIoU---base: mIoU {base:.4f}.")
         logger.info(f"meanIoU---novel: mIoU {novel:.4f}.")

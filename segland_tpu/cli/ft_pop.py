@@ -69,7 +69,7 @@ def run_seed(args, seed, crop, base_size, logger):
         is_ft=True, os=args.output_stride, dtype=model_dtype(args),
     )
     img0 = jnp.zeros((2,) + crop + (3,), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(seed), img0, train=False)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(jax.random.PRNGKey(seed), img0)
     variables = jax.tree_util.tree_map(np.asarray, variables)
 
     if args.restore_from:

@@ -19,7 +19,9 @@ SENTINEL = 30  # cut-mix pipelines mark pasted novel pixels with 30
 
 
 def _write_label(path: str, data: np.ndarray, profile_from: str):
-    try:
+    from ..data.tileio import HAS_RASTERIO
+
+    if HAS_RASTERIO:
         import rasterio
 
         f = rasterio.open(profile_from)
@@ -27,7 +29,7 @@ def _write_label(path: str, data: np.ndarray, profile_from: str):
         profile.update(driver="GTiff", dtype="uint8")
         with rasterio.open(path, "w", **profile) as g:
             g.write(data.astype(np.uint8), 1)
-    except ImportError:
+    else:
         from PIL import Image
 
         Image.fromarray(data.astype(np.uint8)).save(path)

@@ -68,7 +68,7 @@ def main(argv=None):
     loss_name = "orth" if "pop" in args.model else "ce"
 
     img0 = jnp.zeros((1,) + crop + (3,), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(seed), img0, train=True)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=True))(jax.random.PRNGKey(seed), img0)
 
     if args.restore_from:
         if args.restore_from.endswith(".pth"):

@@ -12,7 +12,9 @@ import numpy as np
 try:
     import rasterio  # type: ignore
 
-    HAS_RASTERIO = True
+    # guard against injected import stubs (tests stub rasterio to import the
+    # torch reference; a stub without .open must not select this path)
+    HAS_RASTERIO = hasattr(rasterio, "open")
 except ImportError:
     rasterio = None
     HAS_RASTERIO = False

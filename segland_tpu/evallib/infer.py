@@ -73,21 +73,28 @@ class Evaluator:
 
     def run(self, loader, save_path: Optional[str] = None,
             prob_path: Optional[str] = None, data_root: Optional[str] = None,
-            colormap=None, square_pad_eval: bool = False, logger=None):
+            colormap=None, square_pad_eval: bool = False, logger=None,
+            export_workers: int = 4):
         """Full eval epoch. Returns (cmatrix, base/novel/total mIoU, tiles/sec).
 
-        With GT: accumulate the 12-class confusion matrix.  Without GT: write
-        colormapped GTiff predictions and (if prob_path) per-tile .mat
-        probability maps (reference eval_base.py:160-191).
+        With GT: accumulate the 12-class confusion matrix (device-side; no
+        logits leave the chip).  Without GT: write colormapped GTiff
+        predictions and (if prob_path) per-tile .mat probability maps
+        (reference eval_base.py:160-191).  Exports run on a thread pool so
+        disk/transfer overlap the next batch's device compute.
 
         square_pad_eval: eval_ft protocol — upsample logits to
         (longside, longside) and ignore-pad the GT (eval_ft.py:168-178).
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         colormap = colormap or OEM_COLORMAP
         cm = np.zeros((self.num_classes, self.num_classes), np.float64)
         n_tiles = 0
         t0 = time.time()
         cm_dev = None
+        pool = ThreadPoolExecutor(export_workers)
+        pending = []
         for batch in loader:
             images, labels, ids = batch
             has_gt = labels[0] is not None if isinstance(labels, list) else labels is not None
@@ -107,24 +114,31 @@ class Evaluator:
             else:
                 lh, lw = images.shape[1:3]
                 logits, pred = self.predict_batch(images, (lh, lw))
-                pred_np = np.asarray(pred)
-                logits_np = np.asarray(logits)
-                for i, tid in enumerate(ids):
-                    if save_path:
-                        profile_from = (
-                            os.path.join(data_root, "images", f"{tid}.tif") if data_root else None
-                        )
-                        write_pred_tiff(
-                            os.path.join(save_path, f"{tid}.tif"), pred_np[i],
-                            colormap, profile_from,
-                        )
-                    if prob_path:
-                        # NCHW layout for fusemat byte-compat (eval_base.py:190)
-                        write_prob_mat(
-                            os.path.join(prob_path, f"{tid}.mat"),
-                            np.transpose(logits_np[i], (2, 0, 1))[None],
-                        )
+                pred_np = np.asarray(pred) if save_path else None
+                logits_np = np.asarray(logits) if prob_path else None
+
+                def export(ids=ids, pred_np=pred_np, logits_np=logits_np):
+                    for i, tid in enumerate(ids):
+                        if save_path:
+                            profile_from = (
+                                os.path.join(data_root, "images", f"{tid}.tif") if data_root else None
+                            )
+                            write_pred_tiff(
+                                os.path.join(save_path, f"{tid}.tif"), pred_np[i],
+                                colormap, profile_from,
+                            )
+                        if prob_path:
+                            # NCHW layout for fusemat byte-compat (eval_base.py:190)
+                            write_prob_mat(
+                                os.path.join(prob_path, f"{tid}.mat"),
+                                np.transpose(logits_np[i], (2, 0, 1))[None],
+                            )
+
+                pending.append(pool.submit(export))
             n_tiles += len(ids)
+        for fut in pending:
+            fut.result()
+        pool.shutdown()
         if cm_dev is not None:
             cm = np.asarray(cm_dev, np.float64)
         dt = time.time() - t0
