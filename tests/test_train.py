@@ -137,3 +137,37 @@ def test_ft_step_freezes_base():
     for a, b in zip(jax.tree_util.tree_leaves(bs0), jax.tree_util.tree_leaves(state.batch_stats)):
         np.testing.assert_array_equal(a, np.asarray(b))
     assert np.isfinite(float(ld["total_loss"]))
+
+
+def test_plain_pspnet_ce_train_step():
+    """CE (non-POP) train path: PlainPSPNet main+aux loss (reference
+    train_base with model=pspnet, loss/__init__.py CELoss branch)."""
+    model = build_model("pspnet", backbone="resnet10", n_base=7)
+    img = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, train=True)
+    tx = create_optimizer(variables["params"], 1e-4, 10, 2)
+    state = create_train_state(model, variables, tx)
+    step = jax.jit(make_base_train_step(model, loss_name="ce"))
+    mask = jnp.full((2, 32, 32), 3, jnp.int32)
+    state, ld, gn = step(state, img, mask)
+    assert set(ld) == {"total_loss", "main_loss", "aux_loss"}
+    np.testing.assert_allclose(
+        float(ld["total_loss"]),
+        float(ld["main_loss"]) + 0.4 * float(ld["aux_loss"]), rtol=1e-6)
+    state2, ld2, _ = step(state, img, mask)
+    assert float(ld2["total_loss"]) < float(ld["total_loss"])
+
+
+def test_double_step_advances_twice():
+    model, state = _tiny_pop_state(optimizer="sgd", lr=1e-3)
+    img = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    mask = jnp.full((1, 32, 32), 2, jnp.int32)
+    single = jax.jit(make_base_train_step(model))
+    double = jax.jit(make_base_train_step(model, double_step=True))
+    s1, _, _ = single(state, img, mask)
+    s2, _, _ = double(state, img, mask)
+    a = np.asarray(s1.params["base_emb"])
+    b = np.asarray(s2.params["base_emb"])
+    base = np.asarray(state.params["base_emb"])
+    # SGD momentum 0.9: step1 = -lr*g, step2 = -lr*(g + 0.9*g) -> total 2.9x
+    np.testing.assert_allclose(b - base, 2.9 * (a - base), rtol=1e-4, atol=1e-7)
