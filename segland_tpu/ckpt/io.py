@@ -7,7 +7,7 @@ reference's ``epoch_<n>.pth`` / ``best.pth`` naming with ``.ckpt``.
 """
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np

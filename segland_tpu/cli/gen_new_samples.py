@@ -11,7 +11,7 @@ from shutil import copyfile
 
 import numpy as np
 
-from ..data.tileio import read_label, read_image
+from ..data.tileio import read_label
 
 DEFAULT_CLASSES = ["Vehicle & cargo-trailer", "Parking space", "Sports field", "Building type 2"]
 DEFAULT_INDEXES = [8, 9, 10, 11]

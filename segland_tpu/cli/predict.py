@@ -9,10 +9,8 @@ import argparse
 import os
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
-from .common import add_common_args, parse_hw, model_dtype
+from .common import add_common_args, model_dtype
 from .eval_base import _load_variables
 from ..models import build_model
 from ..evallib import Evaluator

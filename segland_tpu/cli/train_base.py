@@ -8,7 +8,6 @@ Example (mirrors reference scripts/train_oem.sh):
 
 import argparse
 import os
-import sys
 
 import numpy as np
 import jax
@@ -17,11 +16,8 @@ import jax.numpy as jnp
 from .common import add_common_args, add_train_args, parse_hw, model_dtype
 from ..data import DATASETS, Loader
 from ..models import build_model
-from ..models.pop import GFSSModel
 from ..train import create_optimizer, create_train_state, make_base_train_step
 from ..train.base import make_eval_step
-from ..losses import get_loss
-from ..metrics import miou_from_cmatrix
 from ..dist import make_mesh, shard_batch, replicate
 from ..ckpt import save_checkpoint, load_checkpoint, save_params
 from ..ckpt.torch_convert import load_torch_checkpoint, arch_for_backbone

@@ -12,7 +12,7 @@ flips/rotations use random.random — base_dataset.py:106-155).
 """
 
 import random as _random
-from typing import Optional, Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 from PIL import Image

@@ -8,8 +8,6 @@ torch-ism we drop).  Class split: base {1..7}, novel {8..11}, 0 = background
 import os
 import os.path as osp
 import random as _random
-from typing import Optional, Tuple
-
 import numpy as np
 
 from . import augment as A

@@ -9,7 +9,6 @@ so the same code scales to a v5e-8.
 
 import os
 import time
-from functools import partial
 from typing import Optional
 
 import numpy as np
@@ -18,7 +17,7 @@ import jax.numpy as jnp
 
 from ..metrics import confusion_matrix, miou_from_cmatrix
 from ..ops.resize import resize_bilinear
-from ..data.tileio import write_pred_tiff, write_prob_mat, OEM_COLORMAP, OEM_COLORMAP_FT
+from ..data.tileio import write_pred_tiff, write_prob_mat, OEM_COLORMAP
 
 
 class Evaluator:

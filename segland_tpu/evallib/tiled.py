@@ -7,11 +7,7 @@ a scene into overlapping tiles, batches them through the jitted forward
 overlap averaging — O(scene) memory on host, static shapes on device.
 """
 
-from typing import Optional, Tuple
-
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 
 def _tile_starts(size: int, tile: int, stride: int):

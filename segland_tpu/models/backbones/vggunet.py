@@ -7,7 +7,7 @@ is the first op of the next slice, vggunet_pop.py:56-60); decoder ups use
 bilinear 2x (align_corners=True) + DoubleConv with mid = in//2.
 """
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax.numpy as jnp
 import flax.linen as nn

@@ -17,7 +17,7 @@ collapse (ops/pop.py) regardless of the backbone compute dtype, mirroring
 the reference's fp32 autocast island (pspnet_pop.py:95).
 """
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 import flax.linen as nn

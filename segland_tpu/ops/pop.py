@@ -23,7 +23,6 @@ decomposition to fp32 via an autocast(enabled=False) island,
 networks/pspnet_pop.py:95).
 """
 
-import jax
 import jax.numpy as jnp
 
 

@@ -6,8 +6,6 @@ statistics come out of XLA collectives — no DDP, no explicit all_reduce
 (replaces reference engine.py:69-74,120-131 and SyncBatchNorm).
 """
 
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 import optax

@@ -19,11 +19,9 @@ benchmark level instead.
 
 from typing import Any, Callable, Optional
 
-import jax
 import jax.numpy as jnp
 import optax
 import flax
-from flax import struct
 from flax.training import train_state
 
 

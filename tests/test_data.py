@@ -117,3 +117,28 @@ def test_loader_process_sharding(data_root):
     b1 = list(l1)[0]
     assert b0[0].shape[0] == 2 and b1[0].shape[0] == 2
     assert set(b0[2]).isdisjoint(b1[2])
+
+
+def test_ft_val_supp_mode(data_root):
+    """Per-class binarized support sets (reference oem_ft.py:222-260)."""
+    ds = OEMFtTrainDataset(
+        str(data_root), str(data_root / "list" / "train.txt"), shot=5, seed=123,
+        crop_size=(32, 32), mode="val_supp",
+    )
+    assert len(ds) == 11  # 7 base + 4 novel classes
+    images, labels, ids, target_cls = ds[len(ds) - 1]  # last novel class
+    assert target_cls == 11
+    assert len(images) == 5 and len(labels) == 5
+    for lab in labels:
+        assert set(np.unique(lab)) <= {0, 1, 255}  # binarized
+
+
+def test_val_dataset_missing_label(data_root):
+    (data_root / "list" / "unlabeled.txt").write_text("nolabel_tile\n")
+    from PIL import Image as _I
+    rng = np.random.RandomState(1)
+    _I.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8)).save(
+        data_root / "images" / "nolabel_tile.tif")
+    ds = OEMValDataset(str(data_root), str(data_root / "list" / "unlabeled.txt"))
+    img, lab, tid = ds[0]
+    assert lab is None and img.shape == (64, 64, 3)

@@ -142,3 +142,19 @@ def test_eval_ft_cli(data_root, tmp_path_factory):
     base, novel, total, tps = results[123]
     assert 0.0 <= base <= 1.0
     assert os.path.exists(os.path.join(out, "cmatrix_123.npy"))
+
+
+def test_predict_cli(data_root, tmp_path_factory):
+    from segland_tpu.cli.predict import main
+
+    snap = getattr(test_train_base_cli, "snap", None)
+    assert snap, "train test must run first"
+    scene_dir = tmp_path_factory.mktemp("scenes")
+    rng = np.random.RandomState(9)
+    Image.fromarray(rng.randint(0, 255, (70, 90, 3), np.uint8)).save(scene_dir / "s.tif")
+    out = str(tmp_path_factory.mktemp("scene_preds"))
+    n = main(["--data-dir", str(data_root), "--input", str(scene_dir), "--output", out,
+              "--restore-from", os.path.join(snap, "best.ckpt"),
+              "--tile", "32", "--overlap", "8", "--eval-batch", "2"] + COMMON)
+    assert n == 1
+    assert os.path.exists(os.path.join(out, "s.tif"))
