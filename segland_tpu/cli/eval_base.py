@@ -37,6 +37,11 @@ def get_parser():
     p.add_argument("--device-normalize", action="store_true",
                    help="transfer raw uint8 tiles and normalize on device "
                         "(4x less host->device traffic)")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 PTQ inference (backbone/decoder convs+denses on "
+                        "the int8 MXU path, ~1.5x; POP head stays fp32)")
+    p.add_argument("--calib-batches", type=int, default=4,
+                   help="batches used for int8 activation calibration")
     return p
 
 
@@ -95,7 +100,8 @@ def main(argv=None):
         evaluator = Evaluator(model, variables, num_classes=args.num_classes,
                               n_base=n_base, ignore_label=args.ignore_label,
                               mesh=mesh if jax.device_count() > 1 else None,
-                              normalize_on_device=args.device_normalize)
+                              normalize_on_device=args.device_normalize,
+                              int8=args.int8, calib_batches=args.calib_batches)
         save_path = args.save_path if args.save else None
         prob_path = (os.path.join(args.save_path, "prob")
                      if (args.save_prob and not args.is_ft) else None)

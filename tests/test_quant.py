@@ -1,0 +1,122 @@
+"""int8 PTQ: calibration, quantized forward accuracy, skip rules."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import pytest
+
+from segland_tpu.quant import (
+    QuantConfig, calibrate, quantized_apply, quant_interceptor,
+)
+
+
+def _leaf_paths(tree, prefix=()):
+    import flax
+
+    return set(flax.traverse_util.flatten_dict(tree).keys())
+
+
+def test_calibrate_and_int8_forward_close():
+    """pspnet_pop/resnet10: int8 logits track fp32 logits (argmax + cosine)."""
+    from segland_tpu.models import build_model
+
+    model = build_model("pspnet_pop", backbone="resnet10", n_base=7)
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), img[:1], train=False)
+
+    v_q = calibrate(model, variables, [img])
+    assert "quant" in v_q
+    # scales are positive scalars
+    amaxes = jax.tree_util.tree_leaves(v_q["quant"])
+    assert amaxes and all(a.shape == () and float(a) > 0 for a in amaxes)
+
+    ref = model.apply(variables, img, train=False)
+    out = quantized_apply(model)(v_q, img, train=False)
+    assert out.shape == ref.shape and out.dtype == ref.dtype
+
+    a = np.asarray(ref, np.float64).reshape(-1, ref.shape[-1])
+    b = np.asarray(out, np.float64).reshape(-1, ref.shape[-1])
+    cos = (a * b).sum(-1) / np.maximum(
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1), 1e-9)
+    agree = (a.argmax(-1) == b.argmax(-1)).mean()
+    assert cos.mean() > 0.98, cos.mean()
+    assert agree > 0.90, agree
+
+
+def test_calibration_running_max_and_param_tree_untouched():
+    from segland_tpu.models import build_model
+
+    model = build_model("pspnet_pop", backbone="resnet10", n_base=7)
+    rng = np.random.RandomState(1)
+    small = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32) * 0.1)
+    big = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32) * 3.0)
+    variables = model.init(jax.random.PRNGKey(0), small, train=False)
+
+    v1 = calibrate(model, variables, [small])
+    v2 = calibrate(model, v1, [big])
+    a1 = np.array([float(x) for x in jax.tree_util.tree_leaves(v1["quant"])])
+    a2 = np.array([float(x) for x in jax.tree_util.tree_leaves(v2["quant"])])
+    assert (a2 >= a1 - 1e-6).all()  # running max only grows
+    assert _leaf_paths(v2["params"]) == _leaf_paths(variables["params"])
+
+
+class _SkipNet(nn.Module):
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(64, (3, 3), name="big")(x)            # quantized
+        x = nn.Conv(64, (3, 3), feature_group_count=64, name="dw")(x)  # depthwise: skip
+        x = nn.Conv(8, (1, 1), name="tiny_head")(x)       # <32 out: skip
+        return x
+
+
+def test_skip_rules_depthwise_and_tiny():
+    net = _SkipNet()
+    x = jnp.ones((1, 16, 16, 64))
+    variables = net.init(jax.random.PRNGKey(0), x)
+    v_q = calibrate(net, variables, [x])
+    quantized = {p[0] for p in _leaf_paths(v_q["quant"])}
+    assert quantized == {"big"}
+
+
+class _MLP(nn.Module):
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Dense(128, name="fc1")(x)
+        x = nn.relu(x)
+        x = nn.Dense(64, name="fc2")(x)
+        return x
+
+
+def test_dense_quantization():
+    net = _MLP()
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(4, 17, 64).astype(np.float32))
+    variables = net.init(jax.random.PRNGKey(0), x)
+    v_q = calibrate(net, variables, [x])
+    assert {p[0] for p in _leaf_paths(v_q["quant"])} == {"fc1", "fc2"}
+    ref = np.asarray(net.apply(variables, x))
+    out = np.asarray(quantized_apply(net)(v_q, x))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.05, rel
+
+
+def test_int8_without_calibration_raises():
+    net = _MLP()
+    x = jnp.ones((1, 4, 64))
+    variables = net.init(jax.random.PRNGKey(0), x)
+    with pytest.raises(ValueError, match="calibrate"):
+        quantized_apply(net)(variables, x)
+
+
+def test_int8_under_jit():
+    net = _MLP()
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 8, 64).astype(np.float32))
+    variables = net.init(jax.random.PRNGKey(0), x)
+    v_q = calibrate(net, variables, [x])
+    f = jax.jit(lambda v, x: quantized_apply(net)(v, x))
+    out = np.asarray(f(v_q, x))
+    ref = np.asarray(quantized_apply(net)(v_q, x))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
