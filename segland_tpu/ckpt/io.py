@@ -1,9 +1,14 @@
 """Checkpoint save/restore (replaces torch.save/load_model,
 reference train_base.py:286-311 + utils/pyt_utils.py:86-135).
 
-Format: msgpack via flax.serialization — single file per checkpoint,
-host-portable, no directory protocol.  Resume-by-epoch mirrors the
-reference's ``epoch_<n>.pth`` / ``best.pth`` naming with ``.ckpt``.
+Two formats:
+  * msgpack via flax.serialization (default) — single file per checkpoint,
+    host-portable, no directory protocol.  Resume-by-epoch mirrors the
+    reference's ``epoch_<n>.pth`` / ``best.pth`` naming with ``.ckpt``.
+  * orbax (``format="orbax"`` / ``--ckpt-format orbax``) — directory-based,
+    the idiomatic TPU choice: sharding-aware restore on a device mesh and
+    multi-host-safe writes.  ``load_checkpoint`` auto-detects by path type
+    (directory -> orbax).
 """
 
 import os
@@ -31,20 +36,23 @@ def load_params(path: str, template: dict) -> dict:
         return serialization.from_bytes(template, f.read())
 
 
-def save_checkpoint(path: str, state, extra: Optional[dict] = None):
+def _state_dict(state):
+    return {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "epoch": state.epoch,
+    }
+
+
+def save_checkpoint(path: str, state, extra: Optional[dict] = None,
+                    format: str = "msgpack"):
     """Full train-state checkpoint (params + opt state + batch stats + step)."""
+    if format == "orbax":
+        return _save_orbax(path, state, extra)
     payload = {
-        "state": serialization.to_state_dict(
-            _to_host(
-                {
-                    "params": state.params,
-                    "batch_stats": state.batch_stats,
-                    "opt_state": state.opt_state,
-                    "step": state.step,
-                    "epoch": state.epoch,
-                }
-            )
-        ),
+        "state": serialization.to_state_dict(_to_host(_state_dict(state))),
         "extra": extra or {},
     }
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
@@ -53,19 +61,47 @@ def save_checkpoint(path: str, state, extra: Optional[dict] = None):
 
 
 def load_checkpoint(path: str, state):
-    """Restore a train state saved by save_checkpoint; returns (state, extra)."""
+    """Restore a train state saved by save_checkpoint; returns (state, extra).
+    Auto-detects the format: a directory is an orbax checkpoint."""
+    if os.path.isdir(path):
+        return _load_orbax(path, state)
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
-    template = {
-        "params": state.params,
-        "batch_stats": state.batch_stats,
-        "opt_state": state.opt_state,
-        "step": state.step,
-        "epoch": state.epoch,
-    }
-    restored = serialization.from_state_dict(template, payload["state"])
+    restored = serialization.from_state_dict(_state_dict(state), payload["state"])
     state = state.replace(**restored)
     return state, payload["extra"]
+
+
+def _save_orbax(path: str, state, extra: Optional[dict] = None):
+    import json
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, serialization.to_state_dict(_to_host(_state_dict(state))),
+               force=True)
+    ckptr.wait_until_finished()
+    with open(os.path.join(path, "segland_extra.json"), "w") as f:
+        json.dump(extra or {}, f)
+
+
+def _load_orbax(path: str, state):
+    import json
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    template = serialization.to_state_dict(_to_host(_state_dict(state)))
+    restored_sd = ckptr.restore(path, template)
+    restored = serialization.from_state_dict(_state_dict(state), restored_sd)
+    extra_path = os.path.join(path, "segland_extra.json")
+    extra = {}
+    if os.path.exists(extra_path):
+        with open(extra_path) as f:
+            extra = json.load(f)
+    return state.replace(**restored), extra
 
 
 def graft_base_into_ft(ft_variables: dict, base_variables: dict) -> dict:

@@ -31,6 +31,9 @@ def get_parser():
     add_train_args(p)
     p.add_argument("--resume-from", type=str, default=None,
                    help="full train-state checkpoint (epoch_N.ckpt) to resume from")
+    p.add_argument("--ckpt-format", choices=["msgpack", "orbax"], default="msgpack",
+                   help="epoch snapshot format (orbax: directory-based, "
+                        "sharding-aware, multi-host-safe; resume auto-detects)")
     p.add_argument("--profile-dir", type=str, default=None,
                    help="write a jax.profiler trace of a few steps here")
     p.add_argument("--double-step", action="store_true",
@@ -129,7 +132,8 @@ def main(argv=None):
 
         state = state.replace(epoch=epoch_log)
         if jax.process_index() == 0 and (epoch_log % args.snapshot_frequency == 0 or epoch_log >= args.num_epoch):
-            save_checkpoint(os.path.join(args.snapshot_dir, f"epoch_{epoch_log}.ckpt"), state)
+            save_checkpoint(os.path.join(args.snapshot_dir, f"epoch_{epoch_log}.ckpt"),
+                            state, format=args.ckpt_format)
             logger.info("taking snapshot ...")
 
         if epoch_log > args.val_start and (epoch_log % args.val_frequency == 0 or epoch_log >= args.num_epoch):

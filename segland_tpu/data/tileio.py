@@ -21,6 +21,8 @@ except ImportError:
 
 from PIL import Image
 
+from .. import native as _native
+
 # 12-class OEM colormap (reference eval_base.py:32-45)
 OEM_COLORMAP = {
     0: (147, 147, 147),
@@ -47,7 +49,9 @@ def read_image(path: str) -> np.ndarray:
     if HAS_RASTERIO:
         arr = rasterio.open(path).read()  # [C,H,W]
         return np.rollaxis(arr, 0, 3)
-    arr = np.asarray(Image.open(path))
+    arr = _native.decode(path)  # C++ decoder (native/tiffdec.cpp); None -> PIL
+    if arr is None:
+        arr = np.asarray(Image.open(path))
     if arr.ndim == 2:
         arr = arr[:, :, None]
     return arr[:, :, :3] if arr.shape[2] > 3 else arr
@@ -57,7 +61,9 @@ def read_label(path: str) -> np.ndarray:
     """Read a label tile -> [H,W] int."""
     if HAS_RASTERIO:
         return rasterio.open(path).read()[0]
-    arr = np.asarray(Image.open(path))
+    arr = _native.decode(path)
+    if arr is None:
+        arr = np.asarray(Image.open(path))
     if arr.ndim == 3:
         arr = arr[:, :, 0]
     return arr

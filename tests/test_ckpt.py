@@ -34,6 +34,26 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_roundtrip_orbax(tmp_path):
+    """Orbax directory format: save with format='orbax', load auto-detects."""
+    model = build_model("pspnet_pop", backbone="resnet10", n_base=7)
+    variables, state = _state(model)
+    state = state.replace(step=jnp.asarray(7), epoch=2)
+    path = str(tmp_path / "epoch_2_ckpt")
+    save_checkpoint(path, state, extra={"best_miou": 0.25}, format="orbax")
+    import os
+
+    assert os.path.isdir(path)
+    model2 = build_model("pspnet_pop", backbone="resnet10", n_base=7)
+    _, fresh = _state(model2)
+    restored, extra = load_checkpoint(path, fresh)
+    assert int(restored.step) == 7 and int(restored.epoch) == 2
+    assert extra["best_miou"] == 0.25
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_params_roundtrip(tmp_path):
     model = build_model("pspnet_pop", backbone="resnet10", n_base=7)
     variables, _ = _state(model)
