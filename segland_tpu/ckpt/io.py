@@ -6,9 +6,11 @@ Two formats:
     host-portable, no directory protocol.  Resume-by-epoch mirrors the
     reference's ``epoch_<n>.pth`` / ``best.pth`` naming with ``.ckpt``.
   * orbax (``format="orbax"`` / ``--ckpt-format orbax``) — directory-based,
-    the idiomatic TPU choice: sharding-aware restore on a device mesh and
-    multi-host-safe writes.  ``load_checkpoint`` auto-detects by path type
-    (directory -> orbax).
+    async-capable.  ``load_checkpoint`` auto-detects by path type
+    (directory -> orbax).  Note: the save here gathers to host first and is
+    called from process 0 only (cli/train_base.py), which is correct for
+    single-host (v5e-8) jobs; true multi-host orbax saves need an
+    all-process collective save and are not wired yet.
 """
 
 import os

@@ -100,7 +100,8 @@ def run_seed(args, seed, crop, base_size, logger):
 
     mesh = make_mesh(math.gcd(jax.device_count(), args.batch_size))
     state = replicate(mesh, state)
-    train_step = jax.jit(make_ft_train_step(model, n_base), donate_argnums=0)
+    train_step = jax.jit(make_ft_train_step(model, n_base, skip_nonfinite=True),
+                         donate_argnums=0)
     eval_step = jax.jit(make_eval_step(model, args.num_classes, args.ignore_label))
 
     best = {"total": 0.0, "base": 0.0, "novel": 0.0, "epoch": 0}

@@ -32,8 +32,11 @@ def get_parser():
     p.add_argument("--resume-from", type=str, default=None,
                    help="full train-state checkpoint (epoch_N.ckpt) to resume from")
     p.add_argument("--ckpt-format", choices=["msgpack", "orbax"], default="msgpack",
-                   help="epoch snapshot format (orbax: directory-based, "
-                        "sharding-aware, multi-host-safe; resume auto-detects)")
+                   help="epoch snapshot format (orbax: directory-based, async-"
+                        "capable, single-host jobs; resume auto-detects)")
+    p.add_argument("--skip-nonfinite", action=argparse.BooleanOptionalAction, default=True,
+                   help="drop updates with inf/nan gradients (failure-detection "
+                        "analog of the reference's AMP GradScaler skip)")
     p.add_argument("--profile-dir", type=str, default=None,
                    help="write a jax.profiler trace of a few steps here")
     p.add_argument("--double-step", action="store_true",
@@ -97,7 +100,10 @@ def main(argv=None):
 
     mesh = make_mesh(math.gcd(jax.device_count(), args.batch_size))
     state = replicate(mesh, state)
-    train_step = jax.jit(make_base_train_step(model, loss_name, double_step=args.double_step), donate_argnums=0)
+    train_step = jax.jit(
+        make_base_train_step(model, loss_name, double_step=args.double_step,
+                             skip_nonfinite=args.skip_nonfinite),
+        donate_argnums=0)
     eval_step = jax.jit(make_eval_step(model, 1 + n_base, args.ignore_label))
 
     start_epoch = args.start_epoch

@@ -72,7 +72,13 @@ class Loader:
 
         pool = ThreadPoolExecutor(self.num_workers) if self.num_workers > 0 else None
 
+        get_batch = getattr(self.dataset, "get_batch", None)
+
         def fetch(chunk):
+            if get_batch is not None:
+                batch = get_batch(chunk)  # native batched decode fast path
+                if batch is not None:
+                    return batch
             if pool is not None and len(chunk) > 1:
                 return _collate(list(pool.map(self.dataset.__getitem__, chunk)))
             return _collate([self.dataset[i] for i in chunk])

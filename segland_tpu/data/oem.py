@@ -88,6 +88,12 @@ class OEMValDataset:
         self.device_normalize = device_normalize
         with open(list_path) as f:
             self.ids = f.read().splitlines()
+        # ring of reused batch buffers for the native fast path (fresh >128MB
+        # host allocations first-touch at ~24MB/s on sandboxed hosts — see
+        # native._out_buffer). 4 slots cover Loader prefetch=2 + consumer +
+        # in-flight write.
+        self._bufs = {}
+        self._buf_slot = 0
 
     def __len__(self):
         return len(self.ids)
@@ -127,3 +133,45 @@ class OEMValDataset:
             return np.ascontiguousarray(image), np.ascontiguousarray(label), tid
         image = self._normalize(image)
         return np.ascontiguousarray(image), None, tid
+
+    def _buffer(self, shape, dtype):
+        self._buf_slot = (self._buf_slot + 1) % 4
+        key = (shape, np.dtype(dtype).str, self._buf_slot)
+        buf = self._bufs.get(key)
+        if buf is None:
+            buf = self._bufs[key] = np.empty(shape, dtype)
+        return buf
+
+    def get_batch(self, indices):
+        """Batched fast path (used by Loader when present): one native
+        OpenMP decode call for the whole batch's images — GIL-free, fused
+        with normalization unless device_normalize.  Returns a collated
+        (images, labels, ids) tuple, or None to make the Loader fall back
+        to the per-item path (native lib missing, odd-sized tiles,
+        resize_label protocol, or a batch mixing labeled/unlabeled ids)."""
+        from .. import native
+
+        if self.resize_label or native.get_lib() is None:
+            return None
+        h, w = self.base_size
+        tids = [self.ids[i] for i in indices]
+        img_paths = [osp.join(self.root, "images", f"{t}.tif") for t in tids]
+        lab_paths = [osp.join(self.root, "labels", f"{t}.tif") for t in tids]
+        have = [os.path.exists(p) for p in lab_paths]
+        if any(have) != all(have):
+            return None
+        n = len(indices)
+        if self.device_normalize:
+            images = native.decode_batch(
+                img_paths, h, w, 3, out=self._buffer((n, h, w, 3), np.uint8))
+        else:
+            images = native.decode_normalize_batch(
+                img_paths, h, w, A.IMAGENET_MEAN, A.IMAGENET_STD,
+                out=self._buffer((n, h, w, 3), np.float32))
+        if images is None:
+            return None
+        if not all(have):
+            return images, [None] * n, tids
+        labels = np.stack(
+            [self.remap(read_label(p).astype(np.int32)) for p in lab_paths], 0)
+        return images, labels, tids

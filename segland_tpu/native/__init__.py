@@ -94,15 +94,20 @@ def decode(path):
     lib = get_lib()
     if lib is None:
         return None
-    w = ctypes.c_int()
-    h = ctypes.c_int()
-    c = ctypes.c_int()
-    if lib.tiff_info(os.fspath(path).encode(), w, h, c) != 0:
+    try:
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        c = ctypes.c_int()
+        if lib.tiff_info(os.fspath(path).encode(), w, h, c) != 0:
+            return None
+        if not (0 < w.value and 0 < h.value and 0 < c.value <= 4):
+            return None
+        out = np.empty((h.value, w.value, c.value), np.uint8)
+        rc = lib.tiff_decode(
+            os.fspath(path).encode(),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size)
+    except Exception:  # never break the PIL fallback contract
         return None
-    out = np.empty((h.value, w.value, c.value), np.uint8)
-    rc = lib.tiff_decode(
-        os.fspath(path).encode(),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size)
     if rc != 0:
         return None
     return out[..., 0] if c.value == 1 else out

@@ -106,6 +106,10 @@ int parse(const Reader& r, Tiff& t) {
     }
   }
   if (!t.width || !t.height) return -5;
+  // sanity bounds: reject absurd dims so callers can size buffers from
+  // tiff_info without overflow (w/h also cast to int on the API surface)
+  if (t.width > (1u << 20) || t.height > (1u << 20) ||
+      (uint64_t)t.width * t.height > (1ull << 31)) return -5;
   if (t.planar != 1) return -6;
   if (t.photometric > 3) return -7;  // minisblack/miniswhite/RGB/palette
   if (t.spp < 1 || t.spp > 4) return -8;
@@ -250,8 +254,12 @@ void undo_predictor(const Tiff& t, uint8_t* rows, uint32_t nrows, uint32_t w) {
   }
 }
 
-// Decode the full image into out[h*w*spp], chunky row-major.
-int decode_image(const uint8_t* data, size_t n, Tiff& t, uint8_t* out) {
+// Decode the full image into out, chunky row-major.  Before any write,
+// validates the parsed dimensions: against an expected (exp_w, exp_h, exp_c)
+// when exp_w > 0, else against the byte capacity `cap` — so a wrong-sized
+// file can never overflow the caller's buffer.
+int decode_image(const uint8_t* data, size_t n, Tiff& t, uint8_t* out,
+                 long cap, int exp_w = 0, int exp_h = 0, int exp_c = 0) {
   Reader r{data, n, false};
   if (n < 8) return -1;
   if (data[0] == 'I' && data[1] == 'I') r.swap = false;
@@ -260,6 +268,12 @@ int decode_image(const uint8_t* data, size_t n, Tiff& t, uint8_t* out) {
   if (r.u16(2) != 42) return -1;  // BigTIFF (43) -> fallback
   int rc = parse(r, t);
   if (rc) return rc;
+  if (exp_w > 0) {
+    if (t.width != (uint32_t)exp_w || t.height != (uint32_t)exp_h ||
+        t.spp != (uint16_t)exp_c) return -42;
+  } else if ((long)((uint64_t)t.width * t.height * t.spp) > cap) {
+    return -41;
+  }
 
   const uint32_t w = t.width, h = t.height;
   if (!t.tiled) {
@@ -304,9 +318,18 @@ int decode_image(const uint8_t* data, size_t n, Tiff& t, uint8_t* out) {
   return 0;
 }
 
+// Slurp a TIFF file; checks the 4-byte magic BEFORE reading the body so
+// non-TIFF inputs (PNG labels etc.) fail fast without a full read.
 int read_file(const char* path, std::vector<uint8_t>& buf) {
   FILE* f = fopen(path, "rb");
   if (!f) return -40;
+  uint8_t hdr[4];
+  if (fread(hdr, 1, 4, f) != 4 ||
+      !((hdr[0] == 'I' && hdr[1] == 'I' && hdr[2] == 42 && hdr[3] == 0) ||
+        (hdr[0] == 'M' && hdr[1] == 'M' && hdr[2] == 0 && hdr[3] == 42))) {
+    fclose(f);
+    return -1;
+  }
   fseek(f, 0, SEEK_END);
   long sz = ftell(f);
   fseek(f, 0, SEEK_SET);
@@ -354,16 +377,7 @@ int tiff_decode(const char* path, uint8_t* out, long cap) {
   int rc = read_file(path, buf);
   if (rc) return rc;
   Tiff t;
-  // Parse lazily inside decode_image; verify capacity first with a pre-parse.
-  {
-    Reader r{buf.data(), buf.size(), buf.size() >= 1 && buf[0] == 'M'};
-    if (buf.size() < 8 || r.u16(2) != 42) return -1;
-    Tiff probe;
-    rc = parse(r, probe);
-    if (rc) return rc;
-    if ((long)((size_t)probe.width * probe.height * probe.spp) > cap) return -41;
-  }
-  return decode_image(buf.data(), buf.size(), t, out);
+  return decode_image(buf.data(), buf.size(), t, out, cap);
 }
 
 // Batch decode, OpenMP-parallel. All images must be hxwxc (checked); out is
@@ -377,9 +391,10 @@ int tiff_decode_batch(const char** paths, int n, int h, int w, int c,
     int rc = read_file(paths[i], buf);
     if (!rc) {
       Tiff t;
-      rc = decode_image(buf.data(), buf.size(), t, out + (size_t)i * tile);
-      if (!rc && (t.width != (uint32_t)w || t.height != (uint32_t)h || t.spp != (uint16_t)c))
-        rc = -42;
+      // expected dims are validated BEFORE any write — a wrong-sized file
+      // cannot overflow its slot
+      rc = decode_image(buf.data(), buf.size(), t, out + (size_t)i * tile,
+                        (long)tile, w, h, c);
     }
     errs[i] = rc;
   }
@@ -407,9 +422,8 @@ int tiff_decode_normalize_batch(const char** paths, int n, int h, int w,
     int rc = read_file(paths[i], buf);
     if (!rc) {
       Tiff t;
-      rc = decode_image(buf.data(), buf.size(), t, px.data());
-      if (!rc && (t.width != (uint32_t)w || t.height != (uint32_t)h || t.spp != 3))
-        rc = -42;
+      rc = decode_image(buf.data(), buf.size(), t, px.data(),
+                        (long)px.size(), w, h, 3);
     }
     errs[i] = rc;
     if (rc) continue;

@@ -96,6 +96,8 @@ def _conv_quantizable(m, x, cfg) -> bool:
         return False
     if m.feature_group_count != 1 or getattr(m, "mask", None) is not None:
         return False
+    if _tup(getattr(m, "input_dilation", None)) != (1, 1):
+        return False  # transposed-style convs: quantized path has no lhs_dilation
     if x.shape[-1] < cfg.min_in or m.features < cfg.min_out:
         return False
     if _canon_padding(m.padding) is None:

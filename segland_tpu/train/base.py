@@ -15,7 +15,8 @@ from ..metrics import intersection_and_union
 from ..ops.resize import resize_bilinear
 
 
-def make_base_train_step(model, loss_name: str = "orth", double_step: bool = False):
+def make_base_train_step(model, loss_name: str = "orth", double_step: bool = False,
+                         skip_nonfinite: bool = False):
     """Returns train_step(state, img [B,H,W,3], mask [B,H,W]) ->
     (state, loss_dict, grad_norm).
 
@@ -23,6 +24,13 @@ def make_base_train_step(model, loss_name: str = "orth", double_step: bool = Fal
     optimizer.step() a second time after the AMP scaler already stepped, so
     each gradient is applied twice (advancing Adam moments twice). Off by
     default; enable only for strict behavioral-parity experiments.
+
+    skip_nonfinite is the failure-detection analog of the reference's AMP
+    GradScaler (train_base.py:258-261, scaler.step skips on inf/nan grads):
+    when any gradient is non-finite, the update (params, opt state, BN stats)
+    is dropped for that step — inside jit via lax.cond-free jnp.where trees,
+    so it costs nothing when grads are healthy.  loss_dict gains
+    'nonfinite_skipped' (0/1) so the driver can count and alert.
     """
     is_pop = loss_name == "orth"
 
@@ -45,12 +53,23 @@ def make_base_train_step(model, loss_name: str = "orth", double_step: bool = Fal
 
         grads, (ld, new_model_state) = jax.grad(loss_fn, has_aux=True)(state.params)
         grad_norm = optax.global_norm(grads)
-        state = state.apply_gradients(
+        new_state = state.apply_gradients(
             grads=grads, batch_stats=new_model_state["batch_stats"]
         )
         if double_step:
-            state = state.apply_gradients(grads=grads)
-        return state, ld, grad_norm
+            new_state = new_state.apply_gradients(grads=grads)
+        if skip_nonfinite:
+            ok = jnp.isfinite(grad_norm)
+            keep = lambda new, old: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), new, old)
+            new_state = new_state.replace(
+                params=keep(new_state.params, state.params),
+                opt_state=keep(new_state.opt_state, state.opt_state),
+                batch_stats=keep(new_state.batch_stats, state.batch_stats),
+                step=jnp.where(ok, new_state.step, state.step),
+            )
+            ld = dict(ld, nonfinite_skipped=1.0 - ok.astype(jnp.float32))
+        return new_state, ld, grad_norm
 
     return train_step
 

@@ -43,11 +43,12 @@ def pseudo_label(mask_b: jnp.ndarray, novel_logits_b: jnp.ndarray, n_base: int) 
     return jnp.where(mask_b == 0, idx, mask_b)
 
 
-def make_ft_train_step(model, n_base: int):
+def make_ft_train_step(model, n_base: int, skip_nonfinite: bool = False):
     """train_step(state, img, mask, img_b, mask_b) -> (state, loss_dict, grad_norm).
 
     img/mask: novel-support samples; img_b/mask_b: base samples (equal batch
     halves, reference oem_ft returns the pair per item).
+    skip_nonfinite: drop the update on inf/nan grads (see train/base.py).
     """
     fwd = type(model).forward_novel
 
@@ -66,8 +67,18 @@ def make_ft_train_step(model, n_base: int):
 
         grads, ld = jax.grad(loss_fn, has_aux=True)(state.params)
         grad_norm = optax.global_norm(grads)
-        state = state.apply_gradients(grads=grads)
-        return state, ld, grad_norm
+        new_state = state.apply_gradients(grads=grads)
+        if skip_nonfinite:
+            ok = jnp.isfinite(grad_norm)
+            keep = lambda new, old: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), new, old)
+            new_state = new_state.replace(
+                params=keep(new_state.params, state.params),
+                opt_state=keep(new_state.opt_state, state.opt_state),
+                step=jnp.where(ok, new_state.step, state.step),
+            )
+            ld = dict(ld, nonfinite_skipped=1.0 - ok.astype(jnp.float32))
+        return new_state, ld, grad_norm
 
     return train_step
 

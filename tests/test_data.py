@@ -142,3 +142,57 @@ def test_val_dataset_missing_label(data_root):
     ds = OEMValDataset(str(data_root), str(data_root / "list" / "unlabeled.txt"))
     img, lab, tid = ds[0]
     assert lab is None and img.shape == (64, 64, 3)
+
+
+@pytest.mark.parametrize("device_normalize", [False, True])
+def test_val_get_batch_matches_per_item(data_root, device_normalize):
+    """Native batched fast path == per-item path (images, labels, ids)."""
+    from segland_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native tiffdec unavailable")
+    ds = OEMValDataset(str(data_root), str(data_root / "list" / "val.txt"),
+                       base_size=(64, 64), device_normalize=device_normalize)
+    batch = ds.get_batch([0, 1, 2])
+    assert batch is not None
+    images, labels, tids = batch
+    assert images.dtype == (np.uint8 if device_normalize else np.float32)
+    ref = [ds[i] for i in range(3)]
+    for i in range(3):
+        np.testing.assert_allclose(images[i], ref[i][0], atol=1e-5)
+        np.testing.assert_array_equal(labels[i], ref[i][1])
+        assert tids[i] == ref[i][2]
+
+
+def test_val_get_batch_fallbacks(data_root):
+    from segland_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native tiffdec unavailable")
+    # resize_label protocol -> no fast path
+    ds = OEMValDataset(str(data_root), str(data_root / "list" / "val.txt"),
+                       base_size=(32, 32), resize_label=True)
+    assert ds.get_batch([0, 1]) is None
+    # wrong base_size (decode dims mismatch) -> no fast path
+    ds2 = OEMValDataset(str(data_root), str(data_root / "list" / "val.txt"),
+                        base_size=(32, 32))
+    assert ds2.get_batch([0, 1]) is None
+    # Loader still yields identical batches through the fallback
+    l = Loader(ds2, 2, shuffle=False, drop_last=False)
+    b = next(iter(l))
+    assert b[0].shape[0] == 2
+
+
+def test_loader_uses_get_batch(data_root):
+    from segland_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native tiffdec unavailable")
+    ds = OEMValDataset(str(data_root), str(data_root / "list" / "val.txt"),
+                       base_size=(64, 64))
+    calls = []
+    orig = ds.get_batch
+    ds.get_batch = lambda idx: calls.append(list(idx)) or orig(idx)
+    batches = list(Loader(ds, 2, shuffle=False, drop_last=False))
+    assert calls and len(batches) == 2
+    assert batches[0][0].shape == (2, 64, 64, 3)

@@ -211,3 +211,33 @@ def test_tileio_uses_native(tmp_path):
     path = tmp_path / "img.tif"
     Image.fromarray(arr).save(path, compression="tiff_lzw")
     np.testing.assert_array_equal(read_image(str(path)), arr)
+
+
+def test_batch_wrong_dims_no_write(tmp_path):
+    """A wrong-sized tile in a batch must fail cleanly BEFORE writing
+    (regression: the dim check used to run after decode -> heap overflow)."""
+    arr = _rand_rgb(7, h=64, w=64)
+    p = tmp_path / "big.tif"
+    Image.fromarray(arr).save(p)
+    sentinel = np.full((1, 16, 16, 3), 0xAB, np.uint8)
+    out = native.decode_batch([str(p)], 16, 16, 3, out=sentinel)
+    assert out is None
+    assert (sentinel == 0xAB).all()  # untouched
+
+
+def test_decode_bogus_header_returns_none(tmp_path):
+    """Corrupt/bogus dims must return None (PIL fallback), never raise."""
+    # ImageWidth tag with a huge value
+    p = tmp_path / "bogus.tif"
+    arr = _rand_rgb(8, h=8, w=8)
+    _write_tiff(p, arr)
+    data = bytearray(p.read_bytes())
+    # find the width entry (tag 256) and blow it up
+    import struct as _s
+    n = _s.unpack("<H", data[8:10])[0]
+    for k in range(n):
+        off = 10 + k * 12
+        if _s.unpack("<H", data[off:off + 2])[0] == 256:
+            data[off + 8:off + 12] = _s.pack("<I", 0x80000000)
+    p.write_bytes(bytes(data))
+    assert native.decode(p) is None

@@ -110,6 +110,27 @@ def test_int8_without_calibration_raises():
         quantized_apply(net)(variables, x)
 
 
+def test_int8_sharded_eval_matches_single():
+    """int8 inference composes with GSPMD batch sharding: an Evaluator over
+    an 8-device mesh produces the same predictions as an unsharded one."""
+    from segland_tpu.models import build_model
+    from segland_tpu.evallib import Evaluator
+    from segland_tpu.dist import make_mesh
+
+    model = build_model("pspnet_pop", backbone="resnet10", n_base=7)
+    rng = np.random.RandomState(5)
+    img = rng.randn(8, 32, 32, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(img[:1]), train=False)
+
+    ev1 = Evaluator(model, variables, num_classes=8, int8=True, calib_batches=1)
+    _, pred1 = ev1.predict_batch(img, (32, 32))
+
+    ev8 = Evaluator(model, variables, num_classes=8, mesh=make_mesh(8),
+                    int8=True, calib_batches=1)
+    _, pred8 = ev8.predict_batch(img, (32, 32))
+    np.testing.assert_array_equal(np.asarray(pred1), np.asarray(pred8))
+
+
 def test_int8_under_jit():
     net = _MLP()
     rng = np.random.RandomState(3)

@@ -171,3 +171,26 @@ def test_double_step_advances_twice():
     base = np.asarray(state.params["base_emb"])
     # SGD momentum 0.9: step1 = -lr*g, step2 = -lr*(g + 0.9*g) -> total 2.9x
     np.testing.assert_allclose(b - base, 2.9 * (a - base), rtol=1e-4, atol=1e-7)
+
+
+def test_skip_nonfinite_guard():
+    """Non-finite grads drop the whole update (reference GradScaler skip,
+    train_base.py:258-261); healthy grads apply normally."""
+    model, state = _tiny_pop_state(lr=1e-2)
+    step = jax.jit(make_base_train_step(model, skip_nonfinite=True))
+    mask = jnp.full((2, 32, 32), 3, jnp.int32)
+
+    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+    bad = jnp.full((2, 32, 32, 3), jnp.nan, jnp.float32)
+    state2, ld, gn = step(state, bad, mask)
+    assert float(ld["nonfinite_skipped"]) == 1.0
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(state2.params)[0]), np.asarray(p0))
+    assert int(state2.step) == int(state.step)
+
+    good = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 3))
+    state3, ld, gn = step(state2, good, mask)
+    assert float(ld["nonfinite_skipped"]) == 0.0
+    assert int(state3.step) == int(state2.step) + 1
+    assert not np.allclose(
+        np.asarray(jax.tree_util.tree_leaves(state3.params)[0]), np.asarray(p0))
