@@ -100,8 +100,11 @@ def run_seed(args, seed, crop, base_size, logger):
 
     mesh = make_mesh(math.gcd(jax.device_count(), args.batch_size))
     state = replicate(mesh, state)
-    train_step = jax.jit(make_ft_train_step(model, n_base, skip_nonfinite=True),
-                         donate_argnums=0)
+    raw_step = make_ft_train_step(model, n_base, skip_nonfinite=True)
+    train_step = jax.jit(raw_step, donate_argnums=0)
+    # loss scalars only on print iterations: each extra jit output costs
+    # ~50 ms of RPC handling over the axon tunnel (see cli/train_base.py)
+    train_step_silent = jax.jit(lambda s, *b: raw_step(s, *b)[0], donate_argnums=0)
     eval_step = jax.jit(make_eval_step(model, args.num_classes, args.ignore_label))
 
     best = {"total": 0.0, "base": 0.0, "novel": 0.0, "epoch": 0}
@@ -112,7 +115,10 @@ def run_seed(args, seed, crop, base_size, logger):
         train_loader.set_epoch(epoch)
         for i, (img, mask, img_b, mask_b, _) in enumerate(train_loader):
             batch = shard_batch(mesh, tuple(jnp.asarray(x) for x in (img, mask, img_b, mask_b)))
-            state, ld, gn = train_step(state, *batch)
+            if i % args.print_frequency == 0:
+                state, ld, gn = train_step(state, *batch)
+            else:
+                state = train_step_silent(state, *batch)
             global_it += 1
             if i % args.print_frequency == 0:
                 logger.info(format_loss_dict(

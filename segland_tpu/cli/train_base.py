@@ -100,10 +100,14 @@ def main(argv=None):
 
     mesh = make_mesh(math.gcd(jax.device_count(), args.batch_size))
     state = replicate(mesh, state)
-    train_step = jax.jit(
-        make_base_train_step(model, loss_name, double_step=args.double_step,
-                             skip_nonfinite=args.skip_nonfinite),
-        donate_argnums=0)
+    raw_step = make_base_train_step(model, loss_name, double_step=args.double_step,
+                                    skip_nonfinite=args.skip_nonfinite)
+    train_step = jax.jit(raw_step, donate_argnums=0)
+    # silent variant: identical update, returns only the new state.  Each
+    # extra jit output costs ~50 ms of RPC handling over the axon tunnel
+    # (measured: 594 ms/step with loss dict + grad norm vs 378 ms without),
+    # so loss scalars are only materialized on print iterations.
+    train_step_silent = jax.jit(lambda s, x, m: raw_step(s, x, m)[0], donate_argnums=0)
     eval_step = jax.jit(make_eval_step(model, 1 + n_base, args.ignore_label))
 
     start_epoch = args.start_epoch
@@ -125,7 +129,12 @@ def main(argv=None):
             if args.profile_dir and epoch == start_epoch and i == prof_start:
                 jax.profiler.start_trace(args.profile_dir)
             img, mask = shard_batch(mesh, (jnp.asarray(img), jnp.asarray(mask)))
-            state, ld, gn = train_step(state, img, mask)
+            verbose = (i % args.print_frequency == 0) or (
+                args.profile_dir and epoch == start_epoch and i <= prof_stop)
+            if verbose:
+                state, ld, gn = train_step(state, img, mask)
+            else:
+                state = train_step_silent(state, img, mask)
             if args.profile_dir and epoch == start_epoch and i == prof_stop:
                 jax.block_until_ready(ld["total_loss"])
                 jax.profiler.stop_trace()

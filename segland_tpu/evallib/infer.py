@@ -56,16 +56,18 @@ class Evaluator:
                              "'quant' scales in variables")
         self.calib_batches = calib_batches
         self._calib_seen = 0
-        self._predict = jax.jit(self._predict_fn, static_argnames=("out_h", "out_w"))
+        self._predict = jax.jit(
+            self._predict_fn, static_argnames=("out_h", "out_w", "want_logits"))
         if int8:
             from ..quant import quantized_apply, quant_interceptor
             import flax.linen as nn
 
             q_apply = quantized_apply(self.model)
 
-            def predict_q(variables, img, out_h, out_w):
+            def predict_q(variables, img, out_h, out_w, want_logits=True):
                 return self._postprocess(
-                    q_apply(variables, self._pre(img), train=False), out_h, out_w)
+                    q_apply(variables, self._pre(img), train=False), out_h, out_w,
+                    want_logits)
 
             def calib(variables, img):
                 with nn.intercept_methods(quant_interceptor("calibrate")):
@@ -73,7 +75,8 @@ class Evaluator:
                         variables, self._pre(img), train=False, mutable=["quant"])
                 return muts["quant"]
 
-            self._predict_q = jax.jit(predict_q, static_argnames=("out_h", "out_w"))
+            self._predict_q = jax.jit(
+                predict_q, static_argnames=("out_h", "out_w", "want_logits"))
             self._calib = jax.jit(calib)
 
     def _pre(self, img):
@@ -82,21 +85,30 @@ class Evaluator:
             img = (img - self._mean) / self._std
         return img
 
-    def _postprocess(self, logits, out_h, out_w):
+    def _postprocess(self, logits, out_h, out_w, want_logits=True):
         logits = resize_bilinear(logits.astype(jnp.float32), (out_h, out_w), align_corners=True)
         pred = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
-        return logits, pred
+        # the upsampled fp32 logits are huge (batch 16 @ 1024^2 x 8 classes =
+        # 512 MB); when the caller only needs predictions (mIoU path) they
+        # must not become a jit output — XLA then fuses the argmax and the
+        # big tensor never hits HBM
+        return (logits if want_logits else None), pred
 
-    def _predict_fn(self, variables, img, out_h, out_w):
+    def _predict_fn(self, variables, img, out_h, out_w, want_logits=True):
         logits = self.model.apply(variables, self._pre(img), train=False)
-        return self._postprocess(logits, out_h, out_w)
+        return self._postprocess(logits, out_h, out_w, want_logits)
 
-    def predict_batch(self, images: np.ndarray, out_hw, batch_pad: Optional[int] = None):
+    def predict_batch(self, images: np.ndarray, out_hw, batch_pad: Optional[int] = None,
+                      want_logits: bool = True):
         """images [B,H,W,3] float32 -> (logits [B,oh,ow,K] fp32, pred uint8).
 
         Ragged final batches are zero-padded to ``batch_pad`` (defaults to the
         mesh size) so shapes stay static (one compile) and shard evenly; the
         padded rows are sliced off the outputs.
+
+        want_logits=False returns (None, pred) and keeps the upsampled fp32
+        logits out of the jit outputs entirely (mIoU path: nothing but the
+        uint8 argmax ever materializes).
         """
         b = images.shape[0]
         target = batch_pad or (self.mesh.devices.size if self.mesh is not None else b)
@@ -121,11 +133,13 @@ class Evaluator:
                 self._calib_seen += 1
             logits, pred = self._predict_q(
                 {**self.variables, "quant": self._quant}, img,
-                int(out_hw[0]), int(out_hw[1]))
+                int(out_hw[0]), int(out_hw[1]), want_logits=want_logits)
         else:
-            logits, pred = self._predict(self.variables, img, int(out_hw[0]), int(out_hw[1]))
+            logits, pred = self._predict(self.variables, img, int(out_hw[0]),
+                                         int(out_hw[1]), want_logits=want_logits)
         if pad:
-            logits, pred = logits[:b], pred[:b]
+            logits = logits[:b] if logits is not None else None
+            pred = pred[:b]
         return logits, pred
 
     def run(self, loader, save_path: Optional[str] = None,
@@ -163,14 +177,17 @@ class Evaluator:
                     pad = ((0, 0), (0, side - lh), (0, side - lw))
                     labels = np.pad(labels, pad, constant_values=self.ignore_label)
                     lh = lw = side
-                logits, pred = self.predict_batch(images, (lh, lw))
+                _, pred = self.predict_batch(images, (lh, lw), want_logits=False)
+                if self.num_classes <= 255 and self.ignore_label == 255:
+                    labels = labels.astype(np.uint8)  # 4x less h2d than int32
                 inc = confusion_matrix(
                     jnp.asarray(labels), pred, self.num_classes, self.ignore_label
                 )
                 cm_dev = inc if cm_dev is None else cm_dev + inc
             else:
                 lh, lw = images.shape[1:3]
-                logits, pred = self.predict_batch(images, (lh, lw))
+                logits, pred = self.predict_batch(images, (lh, lw),
+                                                  want_logits=prob_path is not None)
                 pred_np = np.asarray(pred) if save_path else None
                 logits_np = np.asarray(logits) if prob_path else None
 
