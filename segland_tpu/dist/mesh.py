@@ -32,6 +32,45 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Optional[Mesh]:
     return Mesh(np.array(devices), ("data",))
 
 
+def make_mesh_2d(data: int, model: int, devices=None) -> Optional[Mesh]:
+    """2-D ('data', 'model') mesh for DP x TP.  The 'model' axis shards
+    conv/dense kernels on output channels (see shard_params_tp); lay the
+    'model' axis innermost so its collectives ride the fastest ICI links."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = data * model
+    if n <= 1:
+        return None
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    return Mesh(np.array(devices[:n]).reshape(data, model), ("data", "model"))
+
+
+def shard_params_tp(mesh: Mesh, variables, min_size: int = 1 << 16):
+    """1-D tensor parallelism via GSPMD: annotate every large conv/dense
+    kernel with output-channel sharding over the 'model' axis (the last
+    kernel dim is the output-feature dim in both HWIO conv and dense
+    layouts); everything else (biases, BN, embeddings) replicates.  XLA
+    then propagates channel shardings through the network and inserts the
+    contraction psums — no hand-written collectives (the TP analog of the
+    reference's absent model parallelism; its DDP maps to the 'data' axis).
+
+    Small kernels (< min_size elements) stay replicated: the collective
+    latency would exceed the FLOP savings.
+    """
+    tp = mesh.shape["model"]
+
+    def place(path, x):
+        last = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if (last == "kernel" and x.ndim >= 2 and x.size >= min_size
+                and x.shape[-1] % tp == 0):
+            spec = P(*([None] * (x.ndim - 1) + ["model"]))
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, variables)
+
+
 def shard_batch(mesh: Optional[Mesh], batch):
     """Shard leading (batch) dim of every array in the pytree over 'data'."""
     if mesh is None:
