@@ -98,6 +98,22 @@ class Evaluator:
         logits = self.model.apply(variables, self._pre(img), train=False)
         return self._postprocess(logits, out_h, out_w, want_logits)
 
+    def _stage(self, images: np.ndarray, batch_pad: Optional[int] = None):
+        """Pad a host batch to a static size and start its async h2d
+        transfer (+ mesh sharding).  Returns (device_images, true_batch)."""
+        b = images.shape[0]
+        target = batch_pad or (self.mesh.devices.size if self.mesh is not None else b)
+        pad = (-b) % target
+        if pad:
+            images = np.concatenate(
+                [images, np.zeros((pad,) + images.shape[1:], images.dtype)], 0)
+        img = jnp.asarray(images)
+        if self.mesh is not None:
+            from ..dist import shard_batch
+
+            img = shard_batch(self.mesh, img)
+        return img, b
+
     def predict_batch(self, images: np.ndarray, out_hw, batch_pad: Optional[int] = None,
                       want_logits: bool = True):
         """images [B,H,W,3] float32 -> (logits [B,oh,ow,K] fp32, pred uint8).
@@ -110,16 +126,10 @@ class Evaluator:
         logits out of the jit outputs entirely (mIoU path: nothing but the
         uint8 argmax ever materializes).
         """
-        b = images.shape[0]
-        target = batch_pad or (self.mesh.devices.size if self.mesh is not None else b)
-        pad = (-b) % target
-        if pad:
-            images = np.concatenate([images, np.zeros((pad,) + images.shape[1:], images.dtype)], 0)
-        img = jnp.asarray(images)
-        if self.mesh is not None:
-            from ..dist import shard_batch
-
-            img = shard_batch(self.mesh, img)
+        if isinstance(images, tuple):  # pre-staged by _stage (device prefetch)
+            img, b = images
+        else:
+            img, b = self._stage(images, batch_pad)
         if self.int8:
             if self._quant is None:
                 # zero-init the scale collection from shapes only, so _calib
@@ -137,15 +147,41 @@ class Evaluator:
         else:
             logits, pred = self._predict(self.variables, img, int(out_hw[0]),
                                          int(out_hw[1]), want_logits=want_logits)
-        if pad:
+        if img.shape[0] != b:  # slice off zero-padded rows
             logits = logits[:b] if logits is not None else None
             pred = pred[:b]
         return logits, pred
 
+    def _device_prefetch(self, loader, depth: int = 2):
+        """Stage batches to the device from a background thread so the h2d
+        transfer of batch N+1 overlaps the compute of batch N (the
+        prefetch_to_device idiom; transfers are the serving wall on hosts
+        with slow PCIe and on the axon tunnel)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        stop = object()
+
+        def worker():
+            try:
+                for images, labels, ids in loader:
+                    images = images if isinstance(images, np.ndarray) else np.stack(images, 0)
+                    q.put((self._stage(images), labels, ids))
+            finally:
+                q.put(stop)
+
+        threading.Thread(target=worker, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            yield item
+
     def run(self, loader, save_path: Optional[str] = None,
             prob_path: Optional[str] = None, data_root: Optional[str] = None,
             colormap=None, square_pad_eval: bool = False, logger=None,
-            export_workers: int = 4):
+            export_workers: int = 4, device_prefetch: int = 2):
         """Full eval epoch. Returns (cmatrix, base/novel/total mIoU, tiles/sec).
 
         With GT: accumulate the 12-class confusion matrix (device-side; no
@@ -166,7 +202,9 @@ class Evaluator:
         cm_dev = None
         pool = ThreadPoolExecutor(export_workers)
         pending = []
-        for batch in loader:
+        batches = (self._device_prefetch(loader, device_prefetch)
+                   if device_prefetch > 0 else loader)
+        for batch in batches:
             images, labels, ids = batch
             has_gt = labels[0] is not None if isinstance(labels, list) else labels is not None
             if has_gt:
@@ -185,7 +223,7 @@ class Evaluator:
                 )
                 cm_dev = inc if cm_dev is None else cm_dev + inc
             else:
-                lh, lw = images.shape[1:3]
+                lh, lw = (images[0] if isinstance(images, tuple) else images).shape[1:3]
                 logits, pred = self.predict_batch(images, (lh, lw),
                                                   want_logits=prob_path is not None)
                 pred_np = np.asarray(pred) if save_path else None
