@@ -42,6 +42,9 @@ def get_parser():
                         "the int8 MXU path, ~1.5x; POP head stays fp32)")
     p.add_argument("--calib-batches", type=int, default=4,
                    help="batches used for int8 activation calibration")
+    p.add_argument("--calib-percentile", type=float, default=None,
+                   help="use outlier-robust percentile activation calibration "
+                        "(e.g. 99.9) instead of abs-max")
     return p
 
 
@@ -93,6 +96,13 @@ def main(argv=None):
                            device_normalize=args.device_normalize)
     loader = Loader(valset, batch, shuffle=False, drop_last=False, num_workers=args.num_workers)
 
+    quant_cfg = None
+    if args.int8 and args.calib_percentile is not None:
+        from ..quant import QuantConfig
+
+        quant_cfg = QuantConfig(act_estimator="percentile",
+                                percentile=args.calib_percentile)
+
     results = {}
     for seed_str in args.random_seed.split(","):
         seed = int(seed_str)
@@ -101,7 +111,8 @@ def main(argv=None):
                               n_base=n_base, ignore_label=args.ignore_label,
                               mesh=mesh if jax.device_count() > 1 else None,
                               normalize_on_device=args.device_normalize,
-                              int8=args.int8, calib_batches=args.calib_batches)
+                              int8=args.int8, calib_batches=args.calib_batches,
+                              quant_cfg=quant_cfg)
         save_path = args.save_path if args.save else None
         prob_path = (os.path.join(args.save_path, "prob")
                      if (args.save_prob and not args.is_ft) else None)

@@ -25,7 +25,7 @@ class Evaluator:
                  ignore_label: int = 255, mesh=None,
                  normalize_on_device: bool = False,
                  mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
-                 int8: bool = False, calib_batches: int = 4):
+                 int8: bool = False, calib_batches: int = 4, quant_cfg=None):
         self.model = model
         self.variables = variables
         self.num_classes = num_classes
@@ -59,10 +59,11 @@ class Evaluator:
         self._predict = jax.jit(
             self._predict_fn, static_argnames=("out_h", "out_w", "want_logits"))
         if int8:
-            from ..quant import quantized_apply, quant_interceptor
+            from ..quant import quantized_apply, quant_interceptor, DEFAULT_CONFIG
             import flax.linen as nn
 
-            q_apply = quantized_apply(self.model)
+            cfg = quant_cfg or DEFAULT_CONFIG
+            q_apply = quantized_apply(self.model, cfg)
 
             def predict_q(variables, img, out_h, out_w, want_logits=True):
                 return self._postprocess(
@@ -70,7 +71,7 @@ class Evaluator:
                     want_logits)
 
             def calib(variables, img):
-                with nn.intercept_methods(quant_interceptor("calibrate")):
+                with nn.intercept_methods(quant_interceptor("calibrate", cfg)):
                     _, muts = self.model.apply(
                         variables, self._pre(img), train=False, mutable=["quant"])
                 return muts["quant"]

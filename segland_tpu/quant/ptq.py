@@ -36,6 +36,14 @@ class QuantConfig:
     min_out: int = 32      # skip tiny heads (classifiers)
     skip_paths: Tuple[str, ...] = ()   # substring match on "/".join(module.path)
     quantize_dense: bool = True        # swin/convnext MLPs + qkv/proj
+    # activation-scale estimator: "absmax" (exact running max) or
+    # "percentile" (robust to rare outliers — clips the top tail, which
+    # usually costs far less accuracy than the resolution lost to an
+    # outlier-stretched scale).  Percentile is approximated per batch as the
+    # p-quantile of per-row abs-maxima and runs under a running max across
+    # calibration batches.
+    act_estimator: str = "absmax"
+    percentile: float = 99.9
 
 
 DEFAULT_CONFIG = QuantConfig()
@@ -140,7 +148,16 @@ def quant_interceptor(mode: str, cfg: QuantConfig = DEFAULT_CONFIG):
 
         amax = m.variable("quant", "act_amax", lambda: jnp.zeros((), jnp.float32))
         if mode == "calibrate":
-            amax.value = jnp.maximum(amax.value, jnp.abs(x.astype(jnp.float32)).max())
+            mag = jnp.abs(x.astype(jnp.float32))
+            if cfg.act_estimator == "percentile":
+                # outlier-robust: p-quantile of a deterministic subsample
+                # (full-tensor sort would be 10^8 elements at 1024^2)
+                flat = mag.reshape(-1)
+                stride = max(1, flat.size // 65536)
+                est = jnp.quantile(flat[::stride], cfg.percentile / 100.0)
+            else:
+                est = mag.max()
+            amax.value = jnp.maximum(amax.value, est)
             return next_fun(*args, **kwargs)
 
         s_x = jnp.maximum(amax.value, 1e-6) / 127.0

@@ -141,3 +141,23 @@ def test_int8_under_jit():
     out = np.asarray(f(v_q, x))
     ref = np.asarray(quantized_apply(net)(v_q, x))
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_percentile_calibration_outlier_robust():
+    """With a huge activation outlier, percentile calibration preserves far
+    more accuracy than absmax (the outlier stretches the absmax scale)."""
+    net = _MLP()
+    rng = np.random.RandomState(7)
+    x = rng.randn(4, 32, 64).astype(np.float32)
+    x[0, 0, 0] = 500.0  # single outlier
+    x = jnp.asarray(x)
+    variables = net.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(net.apply(variables, x))
+
+    errs = {}
+    for est in ("absmax", "percentile"):
+        cfg = QuantConfig(act_estimator=est, percentile=99.9)
+        v_q = calibrate(net, variables, [x], cfg=cfg)
+        out = np.asarray(quantized_apply(net, cfg)(v_q, x))
+        errs[est] = float(np.abs(out - ref)[1:].mean())  # rows w/o the outlier
+    assert errs["percentile"] < errs["absmax"] * 0.5, errs
