@@ -1,9 +1,10 @@
 """Host-side GeoTIFF tile I/O.
 
 rasterio (GDAL) is used when available — matching the reference's geo-profile
-copy + colormap export (eval_base.py:180-191).  This image lacks rasterio, so
-PIL is the fallback: reads any TIFF, writes predictions as palette TIFFs
-(colormap preserved; geo-referencing tags dropped — documented limitation).
+copy + colormap export (eval_base.py:180-191).  Without rasterio: reads go
+through the native C++ decoder (segland_tpu/native) with PIL as last resort,
+and prediction exports use the in-repo GeoTIFF writer (data/geotiff.py),
+which copies the source tile's geo tags so outputs stay georeferenced.
 """
 
 import os
@@ -71,7 +72,9 @@ def read_label(path: str) -> np.ndarray:
 
 def write_pred_tiff(path: str, pred: np.ndarray, colormap=None, profile_from: str | None = None):
     """Write a uint8 class-index prediction as colormapped GTiff
-    (reference eval_base.py:180-189). Falls back to a palette TIFF via PIL."""
+    (reference eval_base.py:180-189).  Without rasterio, the in-repo
+    GeoTIFF writer copies the source tile's geo tags (pixel scale,
+    tiepoints, geokeys) so outputs stay georeferenced."""
     pred = np.asarray(pred, dtype=np.uint8)
     colormap = colormap or OEM_COLORMAP
     if HAS_RASTERIO and profile_from and os.path.exists(profile_from):
@@ -81,12 +84,10 @@ def write_pred_tiff(path: str, pred: np.ndarray, colormap=None, profile_from: st
             f.write(pred, 1)
             f.write_colormap(1, colormap)
         return
-    img = Image.fromarray(pred, mode="P")
-    palette = [0] * 768
-    for idx, rgb in colormap.items():
-        palette[idx * 3 : idx * 3 + 3] = rgb
-    img.putpalette(palette)
-    img.save(path)
+    from .geotiff import read_geo_tags, write_palette_geotiff
+
+    geo = read_geo_tags(profile_from) if profile_from and os.path.exists(profile_from) else {}
+    write_palette_geotiff(path, pred, colormap, geo)
 
 
 def write_prob_mat(path: str, probs_nchw: np.ndarray):

@@ -241,3 +241,35 @@ def test_decode_bogus_header_returns_none(tmp_path):
             data[off + 8:off + 12] = _s.pack("<I", 0x80000000)
     p.write_bytes(bytes(data))
     assert native.decode(p) is None
+
+
+def test_geotiff_writer_roundtrip(tmp_path):
+    """write_palette_geotiff: PIL and the native decoder read back the class
+    map; geo tags copied from a source tile survive the roundtrip."""
+    from segland_tpu.data.geotiff import read_geo_tags, write_palette_geotiff, GEO_TAGS
+    from segland_tpu.data.tileio import OEM_COLORMAP, write_pred_tiff
+
+    # source tile carrying geo tags (pixel scale + tiepoint + geokeys)
+    src = tmp_path / "src.tif"
+    pred = np.random.RandomState(11).randint(0, 12, (40, 30)).astype(np.uint8)
+    geo = {
+        33550: (12, struct.pack("<3d", 0.5, 0.5, 0.0)),
+        33922: (12, struct.pack("<6d", 0, 0, 0, 100000.0, 200000.0, 0)),
+        34735: (3, struct.pack("<8H", 1, 1, 0, 1, 1024, 0, 1, 1)),
+        34737: (2, b"WGS 84|\x00"),
+    }
+    write_palette_geotiff(src, pred, OEM_COLORMAP, geo)
+
+    # read back: pixels (both readers) + palette + geo tags
+    assert np.array_equal(np.asarray(Image.open(src)), pred)
+    assert np.array_equal(native.decode(src), pred)
+    got = read_geo_tags(src)
+    assert got == geo
+    pal = Image.open(src).getpalette()
+    assert tuple(pal[3:6]) == OEM_COLORMAP[1]
+
+    # the tileio export path copies geo tags from profile_from
+    out = tmp_path / "pred.tif"
+    write_pred_tiff(str(out), pred, OEM_COLORMAP, profile_from=str(src))
+    assert read_geo_tags(out) == geo
+    assert np.array_equal(np.asarray(Image.open(out)), pred)
