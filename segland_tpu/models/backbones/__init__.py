@@ -4,7 +4,9 @@
 import jax.numpy as jnp
 
 
-def get_backbone(name: str, dtype=jnp.float32, **kw):
+def get_backbone(name: str, dtype=jnp.float32, fused_mlp: bool = False, **kw):
+    """fused_mlp enables the Pallas LN+MLP kernel in transformer-family
+    backbones (swin/convnext); ignored by conv-only families."""
     from . import resnet
 
     if name == "resnet10":
@@ -21,7 +23,7 @@ def get_backbone(name: str, dtype=jnp.float32, **kw):
     if name in ("swin-t", "swin-s", "swin-b", "swin-l"):
         from . import swin
 
-        return swin.get_swin(name, dtype=dtype)
+        return swin.get_swin(name, dtype=dtype, fused_mlp=fused_mlp)
     if name in ("hr-w18", "hr-w32", "hr-w48"):
         from . import hrnet
 
@@ -29,7 +31,7 @@ def get_backbone(name: str, dtype=jnp.float32, **kw):
     if name == "convnext-t":
         from . import convnext
 
-        return convnext.convnext_tiny(dtype=dtype)
+        return convnext.convnext_tiny(dtype=dtype, fused_mlp=fused_mlp)
     if name == "lsk-t":
         from . import lsknet
 

@@ -69,7 +69,9 @@ class LSKStageBlock(nn.Module):
         ls2 = self.param("layer_scale_2", nn.initializers.constant(1e-2), (self.dim,))
         h = _bn(train, self.dtype, "norm1")(x)
         h = LSKAttention(self.dim, dtype=self.dtype, name="attn")(h)
-        x = x + ls1 * h
+        # cast the fp32 layer-scale params: a bare `ls * h` promotes every
+        # block output to fp32 in bf16 mode (2x HBM traffic network-wide)
+        x = x + ls1.astype(h.dtype) * h
         h = _bn(train, self.dtype, "norm2")(x)
         hidden = int(self.dim * self.mlp_ratio)
         h = nn.Conv(hidden, (1, 1), dtype=self.dtype, name="mlp_fc1")(h)
@@ -79,7 +81,7 @@ class LSKStageBlock(nn.Module):
         h = nn.Dropout(self.drop, deterministic=not train, name="mlp_drop1")(h)
         h = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="mlp_fc2")(h)
         h = nn.Dropout(self.drop, deterministic=not train, name="mlp_drop2")(h)
-        return x + ls2 * h
+        return x + ls2.astype(h.dtype) * h
 
 
 class LSKNet(nn.Module):

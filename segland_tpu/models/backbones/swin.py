@@ -127,6 +127,7 @@ class SwinBlock(nn.Module):
     shift_size: int = 0
     mlp_ratio: float = 4.0
     use_pallas: bool = False
+    fused_mlp: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -156,8 +157,16 @@ class SwinBlock(nn.Module):
             x = x[:, :h, :w, :]
 
         x = shortcut + x
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         hidden = int(c * self.mlp_ratio)
+        if self.fused_mlp:
+            from ...ops.pallas_mlp import fused_ln_mlp
+            from .fused import DenseParams, LNParams
+
+            gamma, beta = LNParams(c, name="norm2")()
+            w1, b1 = DenseParams(c, hidden, name="mlp_fc1")()
+            w2, b2 = DenseParams(hidden, c, name="mlp_fc2")()
+            return fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2, eps=1e-5)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(hidden, dtype=self.dtype, name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(y)
@@ -189,6 +198,7 @@ class SwinTransformer(nn.Module):
     window_size: int = 7
     patch_size: int = 4
     use_pallas: bool = False
+    fused_mlp: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -210,7 +220,7 @@ class SwinTransformer(nn.Module):
                 x = SwinBlock(
                     dim, self.num_heads[i], self.window_size,
                     shift_size=0 if j % 2 == 0 else self.window_size // 2,
-                    use_pallas=self.use_pallas,
+                    use_pallas=self.use_pallas, fused_mlp=self.fused_mlp,
                     dtype=self.dtype, name=f"layers_{i}_blocks_{j}",
                 )(x)
             out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"out_norm{i}")(x)
@@ -220,6 +230,7 @@ class SwinTransformer(nn.Module):
         return outs  # fine->coarse [stage0..stage3]
 
 
-def get_swin(name: str, dtype=jnp.float32, use_pallas: bool = False) -> SwinTransformer:
+def get_swin(name: str, dtype=jnp.float32, use_pallas: bool = False,
+             fused_mlp: bool = False) -> SwinTransformer:
     cfg = _CONFIGS[name]
-    return SwinTransformer(dtype=dtype, use_pallas=use_pallas, **cfg)
+    return SwinTransformer(dtype=dtype, use_pallas=use_pallas, fused_mlp=fused_mlp, **cfg)

@@ -65,6 +65,7 @@ class GFSSModel(nn.Module):
     is_ft: bool = False
     os: int = 8
     dilated: bool = True
+    fused_mlp: bool = False  # Pallas LN+MLP kernel in swin/convnext backbones
     dtype: Any = jnp.float32
 
     @property
@@ -94,7 +95,8 @@ class GFSSModel(nn.Module):
         bk = {}
         if self.backbone_name.startswith("resnet"):
             bk = dict(os=self.os, dilated=self.dilated)
-        self.backbone = get_backbone(self.backbone_name, dtype=self.dtype, **bk)
+        self.backbone = get_backbone(self.backbone_name, dtype=self.dtype,
+                                     fused_mlp=self.fused_mlp, **bk)
         dm = self.d_model
         if self.decoder_name == "identity":
             self.decoder = None

@@ -1,0 +1,101 @@
+"""Fused LN+MLP Pallas kernel (ops/pallas_mlp.py): interpret-mode numerics,
+autodiff via the XLA-reference backward, fallback paths, and param-tree
+compatibility of the fused_mlp model flag."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from segland_tpu.ops.pallas_mlp import fused_ln_mlp, ln_mlp_reference
+
+
+def _params(c, hid, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 8)
+    return dict(
+        gamma=jax.random.normal(ks[0], (c,)) * 0.1 + 1.0,
+        beta=jax.random.normal(ks[1], (c,)) * 0.1,
+        w1=jax.random.normal(ks[2], (c, hid)) * 0.05,
+        b1=jax.random.normal(ks[3], (hid,)) * 0.05,
+        w2=jax.random.normal(ks[4], (hid, c)) * 0.05,
+        b2=jax.random.normal(ks[5], (c,)) * 0.05,
+    )
+
+
+def test_kernel_matches_reference_interpret():
+    c, hid = 128, 512
+    p = _params(c, hid)
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, 8, 16, c), jnp.float32)
+    res = jax.random.normal(jax.random.PRNGKey(10), x.shape)
+    ls = jax.random.normal(jax.random.PRNGKey(11), (c,)) * 0.5
+
+    ref = ln_mlp_reference(x.reshape(-1, c), res=res.reshape(-1, c), ls=ls, **p)
+    out = fused_ln_mlp(x, res=res, ls=ls, interpret=True, **p)
+    # kernel GELU uses the A&S erf polynomial (1.5e-7): tol 1e-5, not exact
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref).reshape(x.shape),
+                               rtol=1e-5, atol=1e-5)
+
+    # no-res/no-ls variant (swin)
+    ref2 = ln_mlp_reference(x.reshape(-1, c), **p)
+    out2 = fused_ln_mlp(x, interpret=True, **p)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2).reshape(x.shape),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_kernel_bf16_interpret():
+    c, hid = 128, 256
+    p = _params(c, hid)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 16, 8, c)).astype(jnp.bfloat16)
+    ref = ln_mlp_reference(x.reshape(-1, c), **p).astype(jnp.float32)
+    out = fused_ln_mlp(x, interpret=True, **p).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref).reshape(x.shape),
+                               rtol=0, atol=2e-2)
+
+
+def test_gradients_match_reference():
+    c, hid = 128, 256
+    p = _params(c, hid)
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 8, 16, c), jnp.float32)
+
+    def f_fused(w1, x_):
+        q = dict(p, w1=w1)
+        return fused_ln_mlp(x_, interpret=True, **q).sum()
+
+    def f_ref(w1, x_):
+        q = dict(p, w1=w1)
+        return ln_mlp_reference(x_.reshape(-1, c), **q).sum()
+
+    gw, gx = jax.grad(f_fused, argnums=(0, 1))(p["w1"], x)
+    rw, rx = jax.grad(f_ref, argnums=(0, 1))(p["w1"], x)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx).reshape(x.shape),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_misaligned_shape_falls_back():
+    c, hid = 128, 256
+    p = _params(c, hid)
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 7, 9, c), jnp.float32)
+    out = fused_ln_mlp(x, interpret=True, **p)
+    ref = ln_mlp_reference(x.reshape(-1, c), **p).reshape(x.shape)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("model,backbone", [("swin_pop", "swin-t"),
+                                            ("convnext_pop", "convnext-t")])
+def test_fused_mlp_model_flag_tree_and_numerics(model, backbone):
+    """fused_mlp=True must keep the param tree byte-compatible (converted
+    checkpoints) and, on CPU (XLA fallback), reproduce the unfused output."""
+    from segland_tpu.models import build_model
+
+    m0 = build_model(model, backbone=backbone, n_base=7)
+    m1 = build_model(model, backbone=backbone, n_base=7, fused_mlp=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3), jnp.float32)
+    v0 = m0.init(jax.random.PRNGKey(0), x, train=False)
+    v1 = m1.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v1)
+    assert (jax.tree_util.tree_map(lambda a: a.shape, v0)
+            == jax.tree_util.tree_map(lambda a: a.shape, v1))
+    o0 = m0.apply(v0, x, train=False)
+    o1 = m1.apply(v0, x, train=False)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), rtol=1e-5, atol=1e-5)
