@@ -15,9 +15,9 @@ ITERS = 5
 probe = jax.jit(lambda o: o.astype(jnp.int32).sum())
 
 
-def bench(model_name, backbone, batch, fused):
+def bench(model_name, backbone, batch, fused, fused_attn=False):
     model = build_model(model_name, backbone=backbone, n_base=7,
-                        dtype=jnp.bfloat16, fused_mlp=fused)
+                        dtype=jnp.bfloat16, fused_mlp=fused, fused_attn=fused_attn)
     v = jax.jit(lambda k, a: model.init(k, a, train=False))(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
     img = jax.random.normal(jax.random.PRNGKey(1), (batch, TILE, TILE, 3), jnp.float32)
@@ -38,7 +38,7 @@ def bench(model_name, backbone, batch, fused):
         out = f(v, img)
     int(probe(out))
     dt = (time.time() - t0) / ITERS
-    print(f"{model_name}/{backbone} b{batch} fused={fused}: "
+    print(f"{model_name}/{backbone} b{batch} fused={fused} fattn={fused_attn}: "
           f"{dt*1000:.1f} ms/batch  {batch/dt:.1f} tiles/s", flush=True)
 
 
@@ -47,6 +47,10 @@ if __name__ == "__main__":
     if which == "swin":
         bench("swin_pop", "swin-s", 8, False)
         bench("swin_pop", "swin-s", 8, True)
+    elif which == "swinattn":
+        bench("swin_pop", "swin-s", 8, True, fused_attn=True)
+    elif which == "swinattn16":
+        bench("swin_pop", "swin-s", 16, True, fused_attn=True)
     elif which == "convnext":
         bench("convnext_pop", "convnext-t", 16, False)
         bench("convnext_pop", "convnext-t", 16, True)

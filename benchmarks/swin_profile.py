@@ -47,12 +47,14 @@ def main():
     print(f"devices: {jax.devices()}", flush=True)
     img = jax.random.normal(jax.random.PRNGKey(1), (B, TILE, TILE, 3), jnp.float32)
 
+    fused = "fused" in sys.argv
     # truncated-depth backbones (swin-s = depths (2,2,18,2), heads (3,6,12,24))
     heads = (3, 6, 12, 24)
     cum = []
     for k in range(1, 5):
         depths = (2, 2, 18, 2)[:k]
         mod = SwinTransformer(depths=depths, num_heads=heads[:k], embed_dim=96,
+                              fused_mlp=fused, fused_attn=fused,
                               dtype=jnp.bfloat16)
         ms = bench_module(mod, img, f"backbone stages0..{k - 1}")
         cum.append(ms)
@@ -60,7 +62,8 @@ def main():
         print(f"  -> stage{i} alone: {cum[i] - cum[i - 1]:.1f} ms", flush=True)
 
     # full model
-    model = build_model("swin_pop", backbone="swin-s", n_base=7, dtype=jnp.bfloat16)
+    model = build_model("swin_pop", backbone="swin-s", n_base=7, dtype=jnp.bfloat16,
+                        fused_mlp=fused, fused_attn=fused)
     v = jax.jit(lambda k, a: model.init(k, a, train=False))(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
 

@@ -62,6 +62,10 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--random-seed", type=str, default="123")
     p.add_argument("--print-frequency", type=int, default=10)
     p.add_argument("--num-workers", type=int, default=4)  # accepted for script compat
+    p.add_argument("--fused", action="store_true",
+                   help="Pallas fused LN+MLP and attention-section kernels in "
+                        "transformer backbones (swin/convnext); exact on the "
+                        "XLA fallback, bf16-rounding-level deltas on TPU")
     p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"],
                    help="backbone/decoder compute dtype (POP head always fp32)")
     return p

@@ -87,6 +87,7 @@ def main(argv=None):
         args.model, backbone=args.backbone, n_base=n_base,
         n_novel=args.novel_classes if args.is_ft else 0, is_ft=args.is_ft,
         os=args.output_stride, dtype=model_dtype(args),
+        fused_mlp=args.fused, fused_attn=args.fused,
     )
     mesh = make_mesh()
     batch = args.eval_batch or jax.device_count()

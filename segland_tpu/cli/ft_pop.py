@@ -67,6 +67,7 @@ def run_seed(args, seed, crop, base_size, logger):
     model = build_model(
         args.model, backbone=args.backbone, n_base=n_base, n_novel=n_novel,
         is_ft=True, os=args.output_stride, dtype=model_dtype(args),
+        fused_mlp=args.fused, fused_attn=args.fused,
     )
     img0 = jnp.zeros((2,) + crop + (3,), jnp.float32)
     variables = jax.jit(lambda k, x: model.init(k, x, train=False))(jax.random.PRNGKey(seed), img0)
@@ -80,6 +81,7 @@ def run_seed(args, seed, crop, base_size, logger):
             base_model = build_model(
                 args.model, backbone=args.backbone, n_base=n_base,
                 os=args.output_stride, dtype=model_dtype(args),
+                fused_mlp=args.fused, fused_attn=args.fused,
             )
             base_vars = base_model.init(jax.random.PRNGKey(0), img0[:1], train=False)
             base_vars = load_params(args.restore_from, jax.tree_util.tree_map(np.asarray, base_vars))

@@ -42,6 +42,7 @@ def main(argv=None):
         args.model, backbone=args.backbone, n_base=args.base_classes,
         n_novel=args.novel_classes if args.is_ft else 0, is_ft=args.is_ft,
         os=args.output_stride, dtype=model_dtype(args),
+        fused_mlp=args.fused, fused_attn=args.fused,
     )
     seed = int(args.random_seed.split(",")[0])
     variables = _load_variables(args, model, (args.tile, args.tile), seed, logger)

@@ -66,6 +66,7 @@ def main(argv=None):
     model = build_model(
         args.model, backbone=args.backbone, n_base=n_base, os=args.output_stride,
         dtype=model_dtype(args),
+        fused_mlp=args.fused, fused_attn=args.fused,
     )
     loss_name = "orth" if "pop" in args.model else "ce"
 

@@ -25,7 +25,8 @@ _POP_CONFIGS = {
 
 def build_model(model: str, backbone: str | None = None, n_base: int = 7,
                 n_novel: int = 0, is_ft: bool = False, os: int = 8,
-                dilated: bool = True, dtype=jnp.float32, fused_mlp: bool = False):
+                dilated: bool = True, dtype=jnp.float32, fused_mlp: bool = False,
+                fused_attn: bool = False):
     if model == "pspnet":
         return PlainPSPNet(
             backbone_name=backbone or "resnet50", n_base=n_base, n_novel=n_novel,
@@ -37,7 +38,7 @@ def build_model(model: str, backbone: str | None = None, n_base: int = 7,
     return GFSSModel(
         backbone_name=backbone or default_bk, decoder_name=decoder,
         n_base=n_base, n_novel=n_novel, is_ft=is_ft, os=os, dilated=dilated,
-        fused_mlp=fused_mlp, dtype=dtype,
+        fused_mlp=fused_mlp, fused_attn=fused_attn, dtype=dtype,
     )
 
 

@@ -4,9 +4,11 @@
 import jax.numpy as jnp
 
 
-def get_backbone(name: str, dtype=jnp.float32, fused_mlp: bool = False, **kw):
-    """fused_mlp enables the Pallas LN+MLP kernel in transformer-family
-    backbones (swin/convnext); ignored by conv-only families."""
+def get_backbone(name: str, dtype=jnp.float32, fused_mlp: bool = False,
+                 fused_attn: bool = False, **kw):
+    """fused_mlp / fused_attn enable the Pallas LN+MLP and attention-section
+    kernels in transformer-family backbones (swin/convnext); ignored by
+    conv-only families."""
     from . import resnet
 
     if name == "resnet10":
@@ -23,7 +25,8 @@ def get_backbone(name: str, dtype=jnp.float32, fused_mlp: bool = False, **kw):
     if name in ("swin-t", "swin-s", "swin-b", "swin-l"):
         from . import swin
 
-        return swin.get_swin(name, dtype=dtype, fused_mlp=fused_mlp)
+        return swin.get_swin(name, dtype=dtype, fused_mlp=fused_mlp,
+                             fused_attn=fused_attn)
     if name in ("hr-w18", "hr-w32", "hr-w48"):
         from . import hrnet
 

@@ -39,16 +39,23 @@ def _rel_pos_index(ws: int) -> np.ndarray:
     return rel.sum(-1)  # [ws*ws, ws*ws]
 
 
-def _shift_attn_mask(hp: int, wp: int, ws: int, shift: int) -> np.ndarray:
-    """Static SW-MSA mask [nW, ws*ws, ws*ws] of {0, -100}
-    (reference swin :360-379), computed in numpy at trace time."""
+def _shift_regions(hp: int, wp: int, ws: int, shift: int) -> np.ndarray:
+    """Static per-window SW-MSA region ids [nW, ws*ws] (reference swin
+    :360-374): tokens attend only within equal-id regions."""
     img = np.zeros((hp, wp), np.int32)
     cnt = 0
     for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
         for vs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
             img[hs, vs] = cnt
             cnt += 1
-    win = img.reshape(hp // ws, ws, wp // ws, ws).transpose(0, 2, 1, 3).reshape(-1, ws * ws)
+    return (img.reshape(hp // ws, ws, wp // ws, ws).transpose(0, 2, 1, 3)
+            .reshape(-1, ws * ws).astype(np.float32))
+
+
+def _shift_attn_mask(hp: int, wp: int, ws: int, shift: int) -> np.ndarray:
+    """Static SW-MSA mask [nW, ws*ws, ws*ws] of {0, -100}
+    (reference swin :360-379), computed in numpy at trace time."""
+    win = _shift_regions(hp, wp, ws, shift)
     mask = win[:, None, :] - win[:, :, None]
     return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
 
@@ -120,6 +127,39 @@ class WindowAttention(nn.Module):
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 
+class AttnParams(nn.Module):
+    """Param tree of WindowAttention without running it (fused-attn path):
+    {qkv:{kernel,bias}, proj:{kernel,bias}, relative_position_bias_table}."""
+    dim: int
+    num_heads: int
+    window_size: int
+
+    @nn.compact
+    def __call__(self):
+        from .fused import DenseParams
+
+        wqkv, bqkv = DenseParams(self.dim, 3 * self.dim, name="qkv")()
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * self.window_size - 1) * (2 * self.window_size - 1), self.num_heads),
+        )
+        wproj, bproj = DenseParams(self.dim, self.dim, name="proj")()
+        return wqkv, bqkv, wproj, bproj, table
+
+
+def _pad_token_mask(h, w, hp, wp, ws, shift) -> np.ndarray:
+    """Static per-window valid-token mask [nW or 1, ws*ws] (1=real, 0=pad)."""
+    if hp == h and wp == w:
+        return np.ones((1, ws * ws), np.float32)
+    valid = np.zeros((hp, wp), np.float32)
+    valid[:h, :w] = 1.0
+    if shift > 0:
+        valid = np.roll(valid, (-shift, -shift), axis=(0, 1))
+    win = valid.reshape(hp // ws, ws, wp // ws, ws).transpose(0, 2, 1, 3)
+    return win.reshape(-1, ws * ws)
+
+
 class SwinBlock(nn.Module):
     dim: int
     num_heads: int
@@ -128,6 +168,7 @@ class SwinBlock(nn.Module):
     mlp_ratio: float = 4.0
     use_pallas: bool = False
     fused_mlp: bool = False
+    fused_attn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -136,27 +177,61 @@ class SwinBlock(nn.Module):
         b, h, w, c = x.shape
         ws = self.window_size
         shortcut = x
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         pad_b = (-h) % ws
         pad_r = (-w) % ws
-        if pad_b or pad_r:
-            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
         hp, wp = h + pad_b, w + pad_r
 
-        if self.shift_size > 0:
-            x = jnp.roll(x, (-self.shift_size, -self.shift_size), axis=(1, 2))
-            mask = _shift_attn_mask(hp, wp, ws, self.shift_size)
-        else:
-            mask = None
-        wins = _window_partition(x, ws)
-        wins = WindowAttention(self.dim, self.num_heads, ws, self.use_pallas, self.dtype, name="attn")(wins, mask)
-        x = _window_reverse(wins, ws, b, hp, wp)
-        if self.shift_size > 0:
-            x = jnp.roll(x, (self.shift_size, self.shift_size), axis=(1, 2))
-        if pad_b or pad_r:
-            x = x[:, :h, :w, :]
+        if self.fused_attn:
+            from ...ops.pallas_attn import swin_attn_section_fused
+            from .fused import LNParams
 
-        x = shortcut + x
+            g_ln, b_ln = LNParams(c, name="norm1")()
+            wqkv, bqkv, wproj, bproj, table = AttnParams(
+                self.dim, self.num_heads, ws, name="attn")()
+            n = ws * ws
+            idx = _rel_pos_index(ws).reshape(-1)
+            bias = table[idx].reshape(n, n, self.num_heads).transpose(2, 0, 1)
+            bias_dt = jnp.bfloat16 if self.dtype == jnp.bfloat16 else jnp.float32
+            bias_arr = bias[None].astype(bias_dt)  # rel-pos only [1,nh,N,N]
+            regions = (jnp.asarray(_shift_regions(hp, wp, ws, self.shift_size))
+                       if self.shift_size > 0 else None)
+            mask_tok = jnp.asarray(
+                _pad_token_mask(h, w, hp, wp, ws, self.shift_size))
+
+            if pad_b or pad_r:
+                x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+            if self.shift_size > 0:
+                x = jnp.roll(x, (-self.shift_size, -self.shift_size), axis=(1, 2))
+            wins = _window_partition(x, ws)
+            wins = swin_attn_section_fused(
+                wins, mask_tok, g_ln, b_ln, wqkv, bqkv, wproj, bproj,
+                bias_arr, self.num_heads, eps=1e-5, regions=regions)
+            x = _window_reverse(wins, ws, b, hp, wp)
+            if self.shift_size > 0:
+                x = jnp.roll(x, (self.shift_size, self.shift_size), axis=(1, 2))
+            if pad_b or pad_r:
+                x = x[:, :h, :w, :]
+            # residual was added inside the kernel (on the padded/rolled
+            # domain, where it commutes with reverse/unroll/unpad)
+        else:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+            if pad_b or pad_r:
+                x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+
+            if self.shift_size > 0:
+                x = jnp.roll(x, (-self.shift_size, -self.shift_size), axis=(1, 2))
+                mask = _shift_attn_mask(hp, wp, ws, self.shift_size)
+            else:
+                mask = None
+            wins = _window_partition(x, ws)
+            wins = WindowAttention(self.dim, self.num_heads, ws, self.use_pallas, self.dtype, name="attn")(wins, mask)
+            x = _window_reverse(wins, ws, b, hp, wp)
+            if self.shift_size > 0:
+                x = jnp.roll(x, (self.shift_size, self.shift_size), axis=(1, 2))
+            if pad_b or pad_r:
+                x = x[:, :h, :w, :]
+
+            x = shortcut + x
         hidden = int(c * self.mlp_ratio)
         if self.fused_mlp:
             from ...ops.pallas_mlp import fused_ln_mlp
@@ -199,6 +274,7 @@ class SwinTransformer(nn.Module):
     patch_size: int = 4
     use_pallas: bool = False
     fused_mlp: bool = False
+    fused_attn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -221,6 +297,7 @@ class SwinTransformer(nn.Module):
                     dim, self.num_heads[i], self.window_size,
                     shift_size=0 if j % 2 == 0 else self.window_size // 2,
                     use_pallas=self.use_pallas, fused_mlp=self.fused_mlp,
+                    fused_attn=self.fused_attn,
                     dtype=self.dtype, name=f"layers_{i}_blocks_{j}",
                 )(x)
             out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"out_norm{i}")(x)
@@ -231,6 +308,7 @@ class SwinTransformer(nn.Module):
 
 
 def get_swin(name: str, dtype=jnp.float32, use_pallas: bool = False,
-             fused_mlp: bool = False) -> SwinTransformer:
+             fused_mlp: bool = False, fused_attn: bool = False) -> SwinTransformer:
     cfg = _CONFIGS[name]
-    return SwinTransformer(dtype=dtype, use_pallas=use_pallas, fused_mlp=fused_mlp, **cfg)
+    return SwinTransformer(dtype=dtype, use_pallas=use_pallas, fused_mlp=fused_mlp,
+                           fused_attn=fused_attn, **cfg)

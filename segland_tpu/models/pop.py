@@ -65,7 +65,8 @@ class GFSSModel(nn.Module):
     is_ft: bool = False
     os: int = 8
     dilated: bool = True
-    fused_mlp: bool = False  # Pallas LN+MLP kernel in swin/convnext backbones
+    fused_mlp: bool = False   # Pallas LN+MLP kernel in swin/convnext backbones
+    fused_attn: bool = False  # Pallas attention-section kernel in swin backbones
     dtype: Any = jnp.float32
 
     @property
@@ -96,7 +97,8 @@ class GFSSModel(nn.Module):
         if self.backbone_name.startswith("resnet"):
             bk = dict(os=self.os, dilated=self.dilated)
         self.backbone = get_backbone(self.backbone_name, dtype=self.dtype,
-                                     fused_mlp=self.fused_mlp, **bk)
+                                     fused_mlp=self.fused_mlp,
+                                     fused_attn=self.fused_attn, **bk)
         dm = self.d_model
         if self.decoder_name == "identity":
             self.decoder = None

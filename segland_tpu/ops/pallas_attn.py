@@ -118,6 +118,278 @@ def window_attention_fused(qkv: jnp.ndarray, bias: jnp.ndarray, num_heads: int,
     )(qkv, bias)
 
 
+def _attn_section_kernel(x_ref, mask_ref, region_ref, gamma_ref, beta_ref,
+                         wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
+                         out_ref, *, num_heads: int, head_dim: int,
+                         eps: float, has_region: bool):
+    """Whole attention section of a Swin block in one VMEM pass:
+    LN -> (pad-token zeroing) -> qkv -> per-head window attention
+    (+rel-pos bias, + shift mask recomputed in-kernel from per-token region
+    ids, fp32 softmax) -> proj -> +residual.
+
+    The projection is accumulated per head (ctx_h @ wproj[h*hd:(h+1)*hd])
+    so the full context tensor never needs assembling.  Recomputing the
+    shifted-window mask from region ids (tokens attend only within their
+    cyclic-shift region, reference swintransformer.py:360-379) keeps the
+    bias input window-independent, which frees the window-block size from
+    any per-image divisibility constraint."""
+    wblk, n, c = x_ref.shape
+    hd = head_dim
+    scale = hd ** -0.5
+    cdt = x_ref.dtype
+
+    x = x_ref[:].astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(x * x, axis=-1, keepdims=True) - mu * mu, 0.0)
+    y = (x - mu) * lax.rsqrt(var + eps)
+    y = y * gamma_ref[0].astype(jnp.float32) + beta_ref[0].astype(jnp.float32)
+    # reproduce the reference's pad-AFTER-norm: pad tokens are zeros
+    # (swintransformer.py:333-340 pads the normalized tensor).
+    # mask block is [wblk, n, 1] (3-D so the TPU last-two-dims tiling
+    # rule sees (n, 1) == the array dims) and broadcasts over y.
+    y = y * mask_ref[:].astype(jnp.float32)
+    y = y.astype(cdt)
+
+    # The (wblk, n, c) <-> (wblk*n, c) shape casts below require n to be
+    # sublane-aligned; the wrapper pads windows to n8 tokens (phantom keys
+    # are masked with -1e9 in the bias, phantom rows sliced off outside).
+    qkv = lax.dot_general(
+        y.reshape(wblk * n, c), wqkv_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,  # Mosaic requires 32-bit acc
+    ).astype(cdt) + bqkv_ref[0].astype(cdt)
+    qkv = qkv.reshape(wblk, n, 3 * c)
+
+    if has_region:
+        r = region_ref[:].astype(jnp.float32)  # [wblk, n, 1]
+        pair = r - r.reshape(wblk, 1, n)       # [wblk, n, n]
+        shift_pen = jnp.where(pair != 0.0, -100.0, 0.0)
+
+    acc = jnp.zeros((wblk * n, c), jnp.float32)
+    for h in range(num_heads):
+        q = qkv[:, :, h * hd : (h + 1) * hd].astype(jnp.float32) * scale
+        k = qkv[:, :, c + h * hd : c + (h + 1) * hd].astype(jnp.float32)
+        v = qkv[:, :, 2 * c + h * hd : 2 * c + (h + 1) * hd]
+        attn = lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [wblk, n, n]
+        attn = attn + bias_ref[0, h][None].astype(jnp.float32)
+        if has_region:
+            attn = attn + shift_pen
+        attn = attn - jnp.max(attn, axis=-1, keepdims=True)
+        attn = jnp.exp(attn)
+        attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
+        ctx = lax.dot_general(
+            attn.astype(v.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(cdt)  # [wblk, n, hd]
+        acc = acc + lax.dot_general(
+            ctx.reshape(wblk * n, hd), wproj_ref[h * hd : (h + 1) * hd, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out = acc.astype(cdt) + bproj_ref[0].astype(cdt)
+    out_ref[:] = x_ref[:] + out.reshape(wblk, n, c)
+
+
+def _attn_section_pallas(x_win, mask_tok, regions, gamma, beta, wqkv, bqkv,
+                         wproj, bproj, bias, num_heads, eps, interpret):
+    nw, n, c = x_win.shape
+    hd = c // num_heads
+    cdt = x_win.dtype
+    itemsize = x_win.dtype.itemsize
+    has_region = regions is not None
+
+    def ceil_to(v, m):
+        return -(-v // m) * m
+
+    # pad windows to a sublane-aligned token count so the kernel's
+    # (wblk, n, c) <-> (wblk*n, c) shape casts are legal in Mosaic;
+    # phantom tokens: zero features (mask 0), keys masked to -1e9
+    n8 = ceil_to(n, 16 if itemsize == 2 else 8)
+    if n8 != n:
+        x_win = jnp.pad(x_win, ((0, 0), (0, n8 - n), (0, 0)))
+        mask_tok = jnp.pad(mask_tok, ((0, 0), (0, n8 - n)))
+        keymask = jnp.where(jnp.arange(n8) >= n, -1e9, 0.0).astype(jnp.float32)
+        bias = jnp.pad(bias.astype(jnp.float32),
+                       ((0, 0), (0, 0), (0, n8 - n), (0, n8 - n)))
+        bias = (bias + keymask[None, None, None, :]).astype(cdt)
+        if has_region:
+            regions = jnp.pad(regions, ((0, 0), (0, n8 - n)),
+                              constant_values=-1.0)
+        n_real, n = n, n8
+    else:
+        n_real = n
+    assert bias.shape[0] == 1, "bias must be window-independent (rel-pos only)"
+
+    n_pad = ceil_to(n, 8)
+    lanes = ceil_to(n, 128)
+    # tile the (tiny) per-window arrays over the batch so their blocks
+    # follow x's index map directly and never constrain wblk
+    if mask_tok.shape[0] > 1:
+        mask_tok = jnp.tile(mask_tok, (nw // mask_tok.shape[0], 1))
+    if has_region and regions.shape[0] > 1:
+        regions = jnp.tile(regions, (nw // regions.shape[0], 1))
+    # per-window VMEM: x/out double-buffered + qkv + fp32 intermediates
+    # (x, y from the LN; qkv before the cast; acc; attn scratch + shift pen)
+    per_win = (
+        4 * n_pad * ceil_to(c, 128) * itemsize        # x + out, double-buffered
+        + n_pad * ceil_to(3 * c, 128) * (itemsize + 4)  # qkv value bf16 + fp32
+        + 3 * n_pad * ceil_to(c, 128) * 4             # fp32 x, y, acc
+        + (3 + (1 if has_region else 0)) * n_pad * lanes * 4  # fp32 attn scratch
+        + 4 * n_pad * 128 * itemsize                  # pad mask + regions
+    )
+    shared = ((4 * c * c + 4 * c) * itemsize
+              + num_heads * n_pad * lanes * bias.dtype.itemsize)
+    budget = max(1, (11 * 1024 * 1024 - shared) // per_win)
+    wblk = min(budget, 32, nw)
+    grid = (-(-nw // wblk),)
+    nw_padded = grid[0] * wblk
+    if nw_padded != nw:
+        # pad to a whole number of window blocks (garbage rows are dropped
+        # by the final slice; mask rows 0 keep their LN output finite)
+        x_win = jnp.pad(x_win, ((0, nw_padded - nw), (0, 0), (0, 0)))
+        if mask_tok.shape[0] > 1:
+            mask_tok = jnp.pad(mask_tok, ((0, nw_padded - nw), (0, 0)))
+        if has_region and regions.shape[0] > 1:
+            regions = jnp.pad(regions, ((0, nw_padded - nw), (0, 0)))
+
+    bias_spec = pl.BlockSpec((1, num_heads, n, n), lambda j: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    row3 = lambda shape0: pl.BlockSpec(
+        (shape0, n, 1),
+        (lambda j: (0, 0, 0)) if shape0 == 1 else (lambda j: (j, 0, 0)),
+        memory_space=pltpu.VMEM)
+    mask_spec = row3(1 if mask_tok.shape[0] == 1 else wblk)
+    if not has_region:
+        regions = jnp.zeros((1, n), jnp.float32)
+    region_spec = row3(1 if regions.shape[0] == 1 else wblk)
+
+    vec = lambda a: a.reshape(1, -1).astype(jnp.float32)
+    kernel = functools.partial(_attn_section_kernel, num_heads=num_heads,
+                               head_dim=hd, eps=eps, has_region=has_region)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nw_padded, n, c), cdt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((wblk, n, c), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
+            mask_spec,
+            region_spec,
+            pl.BlockSpec((1, c), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3 * c), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * c), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            bias_spec,
+        ],
+        out_specs=pl.BlockSpec((wblk, n, c), lambda j: (j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nw * n * c * (4 * c + 2 * n),
+            bytes_accessed=2 * nw * n * c * itemsize,
+            transcendentals=nw * num_heads * n * n,
+        ),
+        interpret=interpret,
+    )(x_win, mask_tok.astype(cdt)[..., None], regions.astype(jnp.float32)[..., None],
+      vec(gamma), vec(beta), wqkv.astype(cdt), vec(bqkv), wproj.astype(cdt),
+      vec(bproj), bias)
+    if nw_padded != nw:
+        out = out[:nw]
+    return out[:, :n_real, :] if n_real != n else out
+
+
+def attn_section_reference(x_win, mask_tok, gamma, beta, wqkv, bqkv, wproj,
+                           bproj, bias, num_heads, eps=1e-5, regions=None):
+    """Pure-XLA reference for the fused attention section (tests/backward).
+
+    bias: [1, nh, N, N] rel-pos bias; regions: optional [nW_img, N] shift
+    region ids (tokens attend only within equal-id regions)."""
+    cdt = x_win.dtype
+    xf = x_win.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
+    y = (xf - mu) * lax.rsqrt(var + eps)
+    y = y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    nw = x_win.shape[0]
+    m = mask_tok.astype(jnp.float32)
+    if mask_tok.shape[0] == 1:
+        y = y * m[0][None, :, None]
+    else:
+        y = (y.reshape(nw // mask_tok.shape[0], mask_tok.shape[0], *y.shape[1:])
+             * m[None, :, :, None]).reshape(y.shape)
+    y = y.astype(cdt)
+    qkv = (jnp.dot(y, wqkv.astype(cdt), preferred_element_type=jnp.float32)
+           .astype(cdt) + bqkv.astype(cdt))
+    if regions is not None:
+        pen = jnp.where(regions[:, :, None] != regions[:, None, :], -100.0, 0.0)
+        full_bias = bias.astype(jnp.float32) + pen[:, None]  # [nW, nh, N, N]
+    else:
+        full_bias = bias.astype(jnp.float32)
+    ctx = window_attention_reference(qkv, full_bias.astype(bias.dtype), num_heads)
+    out = (jnp.dot(ctx, wproj.astype(cdt), preferred_element_type=jnp.float32)
+           .astype(cdt) + bproj.astype(cdt))
+    return x_win + out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+def _attn_section(x_win, mask_tok, regions, gamma, beta, wqkv, bqkv, wproj,
+                  bproj, bias, num_heads, eps, interpret):
+    return _attn_section_pallas(x_win, mask_tok, regions, gamma, beta, wqkv,
+                                bqkv, wproj, bproj, bias, num_heads, eps,
+                                interpret)
+
+
+def _attn_section_fwd(x_win, mask_tok, regions, gamma, beta, wqkv, bqkv,
+                      wproj, bproj, bias, num_heads, eps, interpret):
+    out = _attn_section_pallas(x_win, mask_tok, regions, gamma, beta, wqkv,
+                               bqkv, wproj, bproj, bias, num_heads, eps,
+                               interpret)
+    return out, (x_win, mask_tok, regions, gamma, beta, wqkv, bqkv, wproj,
+                 bproj, bias)
+
+
+def _attn_section_bwd(num_heads, eps, interpret, saved, g):
+    x_win, mask_tok, regions, gamma, beta, wqkv, bqkv, wproj, bproj, bias = saved
+
+    def f(x_win_, gamma_, beta_, wqkv_, bqkv_, wproj_, bproj_):
+        return attn_section_reference(x_win_, mask_tok, gamma_, beta_, wqkv_,
+                                      bqkv_, wproj_, bproj_, bias, num_heads,
+                                      eps, regions=regions)
+
+    _, vjp = jax.vjp(f, x_win, gamma, beta, wqkv, bqkv, wproj, bproj)
+    dx, dg, db, dwq, dbq, dwp, dbp = vjp(g)
+    return (dx, jnp.zeros_like(mask_tok),
+            None if regions is None else jnp.zeros_like(regions),
+            dg, db, dwq, dbq, dwp, dbp, jnp.zeros_like(bias))
+
+
+_attn_section.defvjp(_attn_section_fwd, _attn_section_bwd)
+
+
+def swin_attn_section_fused(x_win, mask_tok, gamma, beta, wqkv, bqkv, wproj,
+                            bproj, bias, num_heads, eps=1e-5, regions=None,
+                            interpret=False):
+    """Fused LN+qkv+window-attention+proj+residual over partitioned windows.
+
+    x_win: [NW, N, C] raw (un-normalized) window-partitioned input;
+    mask_tok: [nW_img or 1, N] static 1/0 valid-token mask (zeroing after LN
+    reproduces the reference's pad-after-norm semantics); bias:
+    [1, nh, N, N] relative-position bias; regions: optional [nW_img, N]
+    shift-region ids for SW-MSA blocks (the pairwise mask is recomputed
+    in-kernel).  Falls back to the XLA reference on non-TPU backends.
+    """
+    if not (interpret or jax.default_backend() == "tpu"):
+        return attn_section_reference(x_win, mask_tok, gamma, beta, wqkv,
+                                      bqkv, wproj, bproj, bias, num_heads,
+                                      eps, regions=regions)
+    return _attn_section(x_win, mask_tok, regions, gamma, beta, wqkv, bqkv,
+                         wproj, bproj, bias, num_heads, eps, interpret)
+
+
 def window_attention_reference(qkv: jnp.ndarray, bias: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     """Pure-XLA reference with identical contract (for tests/fallback)."""
     nw, n, c3 = qkv.shape

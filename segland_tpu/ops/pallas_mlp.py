@@ -116,7 +116,7 @@ def _tile_m(c: int, hidden: int, itemsize: int) -> int:
     budget = 12 * 1024 * 1024 - 2 * c * hidden * itemsize
     if budget <= 0:
         return 0
-    for tile in (1024, 512, 256, 128):
+    for tile in (4096, 2048, 1024, 512, 256, 128):
         # x/res/out tiles double-buffered (io) + y/h/o fp32 intermediates
         need = tile * (3 * c * itemsize * 2 + (2 * c + 2 * hidden) * 4)
         if need <= budget:

@@ -155,7 +155,7 @@ def test_eval_base_cli_int8(data_root, tmp_path_factory):
         ["--data-dir", str(data_root), "--val-list", str(data_root / "list" / "val.txt"),
          "--restore-from", os.path.join(snap, "best.ckpt"), "--save-path", out,
          "--base-size", "64,64", "--eval-batch", "2", "--int8",
-         "--calib-batches", "1"] + COMMON
+         "--calib-batches", "1", "--fused"] + COMMON
     )
     base, novel, total, tps = results[123]
     assert 0.0 <= base <= 1.0 and tps > 0

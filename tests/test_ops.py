@@ -150,3 +150,29 @@ def test_proto_similarity(rng):
     np.testing.assert_allclose(np.asarray(proto_similarity(jnp.asarray(eb))), want_base, rtol=1e-5, atol=1e-6)
     want_ft = (sn @ torch.cat([sn, sb], 0).T).numpy()
     np.testing.assert_allclose(np.asarray(proto_similarity(jnp.asarray(en), jnp.asarray(eb))), want_ft, rtol=1e-5, atol=1e-6)
+
+
+def test_s2d_conv_matches_lax_conv():
+    """ops/stem.py space-to-depth stem rewrite is exact for every backbone
+    stem geometry (swin/convnext 4x4s4, resnet 7x7s2 p3, lsk 7x7s4 p3,
+    hrnet/deep-stem 3x3s2 p1, incl. odd input sizes)."""
+    import jax
+    from segland_tpu.ops.stem import s2d_conv
+
+    def ref(x, w, s, p):
+        pl_, pr_ = (p, p) if isinstance(p, int) else p
+        return jax.lax.conv_general_dilated(
+            x, w, (s, s), [(pl_, pr_), (pl_, pr_)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    cases = [((2, 64, 64, 3), (4, 4, 3, 96), 4, 0),
+             ((2, 66, 70, 3), (7, 7, 3, 64), 2, 3),
+             ((2, 64, 64, 3), (7, 7, 3, 32), 4, 3),
+             ((1, 33, 47, 3), (3, 3, 3, 64), 2, 1)]
+    for xs, ws, s, p in cases:
+        x = jnp.asarray(np.random.RandomState(0).randn(*xs), jnp.float32)
+        w = jnp.asarray(np.random.RandomState(1).randn(*ws) * 0.1, jnp.float32)
+        r = ref(x, w, s, p)
+        o = s2d_conv(x, w, s, p)
+        assert o.shape == r.shape
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), rtol=1e-4, atol=1e-5)

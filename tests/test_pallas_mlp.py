@@ -99,3 +99,94 @@ def test_fused_mlp_model_flag_tree_and_numerics(model, backbone):
     o0 = m0.apply(v0, x, train=False)
     o1 = m1.apply(v0, x, train=False)
     np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), rtol=1e-5, atol=1e-5)
+
+
+class TestAttnSection:
+    """Fused attention-section kernel (ops/pallas_attn.swin_attn_section_fused)."""
+
+    def _inputs(self, nw_img=4, b=2, n=49, c=64, nh=2, seed=0):
+        # bias rows: callers slice [:1]; kept for region tests
+
+        ks = jax.random.split(jax.random.PRNGKey(seed), 8)
+        x = jax.random.normal(ks[0], (b * nw_img, n, c), jnp.float32)
+        p = dict(
+            gamma=jax.random.normal(ks[1], (c,)) * 0.1 + 1.0,
+            beta=jax.random.normal(ks[2], (c,)) * 0.1,
+            wqkv=jax.random.normal(ks[3], (c, 3 * c)) * 0.05,
+            bqkv=jax.random.normal(ks[4], (3 * c,)) * 0.05,
+            wproj=jax.random.normal(ks[5], (c, c)) * 0.05,
+            bproj=jax.random.normal(ks[6], (c,)) * 0.05,
+        )
+        bias = jax.random.normal(ks[7], (nw_img, nh, n, n)) * 0.2
+        return x, p, bias
+
+    def test_matches_reference_interpret(self):
+        from segland_tpu.ops.pallas_attn import (attn_section_reference,
+                                                 swin_attn_section_fused)
+
+        x, p, bias = self._inputs()
+        bias = bias[:1]
+        mask = jnp.ones((1, x.shape[1]))
+        ref = attn_section_reference(x, mask, bias=bias, num_heads=2, **p)
+        out = swin_attn_section_fused(x, mask, bias=bias, num_heads=2,
+                                      interpret=True, **p)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_token_mask_and_regions(self):
+        """Per-window pad masks (pad-after-norm emulation) and shift-region
+        ids (in-kernel SW-MSA mask) must match the reference path."""
+        from segland_tpu.ops.pallas_attn import (attn_section_reference,
+                                                 swin_attn_section_fused)
+
+        x, p, bias = self._inputs(nw_img=4, b=2, nh=2)
+        bias = bias[:1]
+        mask = (jax.random.uniform(jax.random.PRNGKey(9), (4, x.shape[1])) > 0.3
+                ).astype(jnp.float32)
+        regions = jnp.asarray(
+            np.random.RandomState(3).randint(0, 3, (4, x.shape[1])), jnp.float32)
+        ref = attn_section_reference(x, mask, bias=bias, num_heads=2,
+                                     regions=regions, **p)
+        out = swin_attn_section_fused(x, mask, bias=bias, num_heads=2,
+                                      regions=regions, interpret=True, **p)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_gradients(self):
+        from segland_tpu.ops.pallas_attn import (attn_section_reference,
+                                                 swin_attn_section_fused)
+
+        x, p, bias = self._inputs(nw_img=1, b=2)
+        mask = jnp.ones((1, x.shape[1]))
+
+        def f_fused(wqkv, x_):
+            q = dict(p, wqkv=wqkv)
+            return swin_attn_section_fused(x_, mask, bias=bias, num_heads=2,
+                                           interpret=True, **q).sum()
+
+        def f_ref(wqkv, x_):
+            q = dict(p, wqkv=wqkv)
+            return attn_section_reference(x_, mask, bias=bias, num_heads=2, **q).sum()
+
+        gw, gx = jax.grad(f_fused, argnums=(0, 1))(p["wqkv"], x)
+        rw, rx = jax.grad(f_ref, argnums=(0, 1))(p["wqkv"], x)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), rtol=1e-4, atol=1e-4)
+
+    def test_swin_block_fused_attn_matches_unfused(self):
+        """Whole SwinBlock with fused_attn (XLA fallback on CPU) == unfused,
+        on a shape that needs padding AND with a shifted window."""
+        from segland_tpu.models.backbones.swin import SwinBlock
+
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 18, 18, 32), jnp.float32)
+        for shift in (0, 3):
+            b0 = SwinBlock(32, 2, shift_size=shift)
+            b1 = SwinBlock(32, 2, shift_size=shift, fused_attn=True)
+            v0 = b0.init(jax.random.PRNGKey(0), x)
+            v1 = b1.init(jax.random.PRNGKey(0), x)
+            assert (jax.tree_util.tree_structure(v0)
+                    == jax.tree_util.tree_structure(v1))
+            o0 = b0.apply(v0, x)
+            o1 = b1.apply(v0, x)
+            np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                                       rtol=2e-5, atol=2e-5)
