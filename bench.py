@@ -25,10 +25,13 @@ import jax.numpy as jnp
 
 BASELINE_TILES_PER_SEC_PER_CHIP = 2000 / 8  # v5e-8 target / 8 chips
 
-MODEL = "pspnet_pop"
+# deeplab_pop/resnet50 is the fastest family at parity (BASELINE.md sweep:
+# int8 b16 154 t/s vs pspnet 108, swin_pop fused 76); reference family
+# networks/deeplab_pop.py, logit parity tests/test_parity_more_heads.py
+MODEL = "deeplab_pop"
 BACKBONE = "resnet50"
 TILE = 1024
-BATCH_PER_CHIP = 16  # measured ~10% faster than 8 on v5e (see BASELINE.md)
+BATCH_PER_CHIP = 16  # sweep: b16 154.1 t/s, b24 140, b32 155 (BASELINE.md)
 WARMUP = 2
 ITERS = 10
 

@@ -161,8 +161,8 @@ def _attn_section_kernel(x_ref, mask_ref, region_ref, gamma_ref, beta_ref,
     qkv = qkv.reshape(wblk, n, 3 * c)
 
     if has_region:
-        r = region_ref[:].astype(jnp.float32)  # [wblk, n, 1]
-        pair = r - r.reshape(wblk, 1, n)       # [wblk, n, n]
+        r = region_ref[:].astype(jnp.float32)   # [1 or wblk, n, 1]
+        pair = r - r.reshape(r.shape[0], 1, n)  # [1 or wblk, n, n]
         shift_pen = jnp.where(pair != 0.0, -100.0, 0.0)
 
     acc = jnp.zeros((wblk * n, c), jnp.float32)

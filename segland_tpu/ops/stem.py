@@ -1,16 +1,19 @@
 """Space-to-depth rewrite of low-channel stem convolutions.
 
-Every backbone's first conv reads a 3-channel image: with NHWC tiling the
-minor dim occupies 3 of 128 lanes, so the 1024^2 input is read at ~2% of
-HBM bandwidth — measured 8.7 ms for swin's 4x4/s4 patch embed and 13.5 ms
-for resnet's 7x7/s2 stem per batch-8 on v5e (benchmarks/patch_embed_probe).
-
 Exact rewrite (same math, different summation order): for a KxK/sS conv,
 pad the input, space-to-depth by S (the stride), and convolve with a
 ceil(K/S)-sized stride-1 kernel whose weights are the original taps
 scattered by (t // S, t % S).  The input is read through a merged
 [B, H, W*C] view so the fp32->bf16 cast and the s2d shuffle run at full
 lane occupancy; phantom right-pad windows are sliced off the output.
+
+MEASURED NEUTRAL ON v5e and therefore NOT wired into the models: with
+proper in-jit chained timing (benchmarks/chain_probe.py — single-op jits
+are dispatch-bound over the axon tunnel and had inflated the stem costs),
+XLA's native conv emitter handles the 3-channel stems well (4x4/s4
+3.2 ms vs 5.3 ms for this rewrite at batch-8 1024^2; 7x7/s2 5.6 vs 5.8).
+Kept as a tested, exact op: the trade-off may differ on other TPU
+generations or for int8 stems.
 
 The original parameter layout [K, K, C, F] is kept (checkpoint converters
 untouched); the scatter to the s2d kernel is a tiny trace-time gather.

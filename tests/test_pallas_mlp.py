@@ -178,7 +178,14 @@ class TestAttnSection:
         on a shape that needs padding AND with a shifted window."""
         from segland_tpu.models.backbones.swin import SwinBlock
 
-        x = jax.random.normal(jax.random.PRNGKey(1), (1, 18, 18, 32), jnp.float32)
+        # 18x18: padding + 9 windows; 7x7: single window (broadcast regions)
+        for hw in (18, 7):
+            x = jax.random.normal(jax.random.PRNGKey(1), (1, hw, hw, 32), jnp.float32)
+            self._check_block(x)
+
+    def _check_block(self, x):
+        from segland_tpu.models.backbones.swin import SwinBlock
+
         for shift in (0, 3):
             b0 = SwinBlock(32, 2, shift_size=shift)
             b1 = SwinBlock(32, 2, shift_size=shift, fused_attn=True)
