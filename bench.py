@@ -75,6 +75,9 @@ def main():
         return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 
     fwd_bf16 = jax.jit(lambda v, x: post(model.apply(v, x, train=False)))
+    # NOTE: QuantConfig(fused_blocks=True) (the Pallas bottleneck kernel)
+    # measured SLOWER than XLA's per-conv int8 path here (DMA-latency-bound
+    # at ~17us/grid-step; see BASELINE.md) — keep the interceptor path
     q_apply = quantized_apply(model)
     fwd_int8 = jax.jit(lambda v, x: post(q_apply(v, x, train=False)))
 

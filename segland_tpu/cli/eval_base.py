@@ -98,11 +98,16 @@ def main(argv=None):
     loader = Loader(valset, batch, shuffle=False, drop_last=False, num_workers=args.num_workers)
 
     quant_cfg = None
-    if args.int8 and args.calib_percentile is not None:
+    if args.int8 and (args.calib_percentile is not None or args.fused):
         from ..quant import QuantConfig
 
-        quant_cfg = QuantConfig(act_estimator="percentile",
-                                percentile=args.calib_percentile)
+        quant_cfg = QuantConfig(
+            act_estimator=("percentile" if args.calib_percentile is not None
+                           else "absmax"),
+            percentile=args.calib_percentile or 99.9,
+            # --fused + --int8: eligible resnet bottlenecks run through the
+            # fused Pallas block kernel (ops/pallas_bottleneck.py)
+            fused_blocks=args.fused)
 
     results = {}
     for seed_str in args.random_seed.split(","):

@@ -13,6 +13,7 @@ import numpy as np
 from .common import add_common_args, model_dtype
 from .eval_base import _load_variables
 from ..models import build_model
+from ..quant import QuantConfig
 from ..evallib import Evaluator
 from ..evallib.tiled import predict_scene
 from ..data import augment as A
@@ -48,7 +49,9 @@ def main(argv=None):
     variables = _load_variables(args, model, (args.tile, args.tile), seed, logger)
     n_classes = 1 + args.base_classes + (args.novel_classes if args.is_ft else 0)
     evaluator = Evaluator(model, variables, num_classes=n_classes, n_base=args.base_classes,
-                          int8=args.int8, calib_batches=args.calib_batches)
+                          int8=args.int8, calib_batches=args.calib_batches,
+                          quant_cfg=(QuantConfig(fused_blocks=True)
+                                     if (args.int8 and args.fused) else None))
 
     def predict_batch(tiles):
         logits, _ = evaluator.predict_batch(tiles, (args.tile, args.tile))

@@ -44,9 +44,68 @@ class QuantConfig:
     # calibration batches.
     act_estimator: str = "absmax"
     percentile: float = 99.9
+    # run eligible resnet Bottleneck blocks (stride 1, no downsample)
+    # through the fused Pallas block kernel (ops/pallas_bottleneck.py):
+    # one VMEM pass per block instead of ~9 GB/block of HBM traffic from
+    # the conv3 s32 materialization + standalone quantize passes
+    fused_blocks: bool = False
+    fused_interpret: bool = False  # interpret-mode kernel (CPU tests)
 
 
 DEFAULT_CONFIG = QuantConfig()
+
+
+def _fold_bn(p, st, eps=1e-5):
+    bs = p["scale"].astype(jnp.float32) / jnp.sqrt(st["var"].astype(jnp.float32) + eps)
+    return bs, p["bias"].astype(jnp.float32) - st["mean"].astype(jnp.float32) * bs
+
+
+def _wq(kernel, axes):
+    k = kernel.astype(jnp.float32)
+    s = jnp.maximum(jnp.abs(k).max(axis=axes), 1e-8) / 127.0
+    return jnp.clip(jnp.round(k / s), -127, 127).astype(jnp.int8), s
+
+
+def build_fused_block_inputs(variables, cfg: QuantConfig):
+    """Walk the variable tree for Bottleneck subtrees with calibrated child
+    scales and precompute fused-kernel inputs, keyed by module path."""
+    params = variables.get("params", {})
+    stats = variables.get("batch_stats", {})
+    quant = variables.get("quant", {})
+    out = {}
+
+    def walk(p, st, q, path):
+        if not isinstance(p, dict):
+            return
+        if ("conv1" in p and "conv2" in p and "conv3" in p and "bn1" in p
+                and isinstance(q, dict) and "conv1" in q and "conv2" in q
+                and "conv3" in q and "downsample_conv" not in p):
+            try:
+                w1q, sw1 = _wq(p["conv1"]["kernel"][0, 0], (0,))
+                w2q, sw2 = _wq(p["conv2"]["kernel"], (0, 1, 2))
+                w3q, sw3 = _wq(p["conv3"]["kernel"][0, 0], (0,))
+                bs1, bt1 = _fold_bn(p["bn1"], st["bn1"])
+                bs2, bt2 = _fold_bn(p["bn2"], st["bn2"])
+                bs3, bt3 = _fold_bn(p["bn3"], st["bn3"])
+                s_x = jnp.maximum(q["conv1"]["act_amax"], 1e-6) / 127.0
+                s_h1 = jnp.maximum(q["conv2"]["act_amax"], 1e-6) / 127.0
+                s_h2 = jnp.maximum(q["conv3"]["act_amax"], 1e-6) / 127.0
+                out["/".join(path)] = dict(
+                    w1=w1q, w2=w2q, w3=w3q,
+                    a1=s_x * sw1 * bs1, b1=bt1,
+                    a2=s_h1 * sw2 * bs2, b2=bt2,
+                    a3=s_h2 * sw3 * bs3, b3=bt3,
+                    s_x=s_x, s_h1=s_h1, s_h2=s_h2,
+                )
+            except KeyError:
+                pass
+            return
+        for k, v in p.items():
+            walk(v, st.get(k, {}) if isinstance(st, dict) else {},
+                 q.get(k, {}) if isinstance(q, dict) else {}, path + (k,))
+
+    walk(params, stats, quant, ())
+    return out
 
 
 def _tup(v, n=2):
@@ -123,7 +182,8 @@ def _dense_quantizable(m, x, cfg) -> bool:
     return not _skip_by_path(m, cfg)
 
 
-def quant_interceptor(mode: str, cfg: QuantConfig = DEFAULT_CONFIG):
+def quant_interceptor(mode: str, cfg: QuantConfig = DEFAULT_CONFIG,
+                      fused_map=None):
     """Interceptor for ``nn.intercept_methods``.
 
     mode="calibrate": forward is numerically unchanged; records the running
@@ -140,6 +200,24 @@ def quant_interceptor(mode: str, cfg: QuantConfig = DEFAULT_CONFIG):
         if context.method_name != "__call__" or not args:
             return next_fun(*args, **kwargs)
         x = args[0]
+        if (fused_map is not None and mode == "int8"
+                and type(m).__name__ == "Bottleneck"
+                and not m.is_initializing()
+                and getattr(m, "stride", None) == 1
+                and not getattr(m, "has_downsample", True)
+                and hasattr(x, "ndim") and x.ndim == 4
+                and x.dtype == jnp.bfloat16):
+            pre = fused_map.get(_module_path(m))
+            if pre is not None and (cfg.fused_interpret
+                                    or jax.default_backend() == "tpu"):
+                from ..ops.pallas_bottleneck import fused_bottleneck_int8
+
+                out = fused_bottleneck_int8(
+                    x, dilation=m.dilation * m.multi_grid,
+                    last_relu=m.last_relu, interpret=cfg.fused_interpret,
+                    **pre)
+                if out is not None:
+                    return out
         is_conv = _conv_quantizable(m, x, cfg)
         if not is_conv and not _dense_quantizable(m, x, cfg):
             return next_fun(*args, **kwargs)
@@ -167,6 +245,9 @@ def quant_interceptor(mode: str, cfg: QuantConfig = DEFAULT_CONFIG):
             kernel = m.param("kernel", m.kernel_init, kshape, m.param_dtype)
             kernel = kernel.astype(jnp.float32)
             s_w = jnp.maximum(jnp.abs(kernel).max(axis=(0, 1, 2)), 1e-8) / 127.0
+            # NOTE: lowering 1x1 convs to dot_general was measured SLOWER
+            # (XLA:TPU canonicalizes the dot back to a convolution and adds
+            # an f32 convert materialization; layer4 29.8 -> 32.8 ms/b16)
             acc = jax.lax.conv_general_dilated(
                 xq, _quantize_sym(kernel, s_w),
                 _tup(m.strides), _canon_padding(m.padding),
@@ -225,7 +306,9 @@ def quantized_apply(model, cfg: QuantConfig = DEFAULT_CONFIG):
         if "quant" not in variables:
             raise ValueError(
                 "int8 inference requires activation scales - run quant.calibrate first")
-        with nn.intercept_methods(quant_interceptor("int8", cfg)):
+        fused_map = (build_fused_block_inputs(variables, cfg)
+                     if cfg.fused_blocks else None)
+        with nn.intercept_methods(quant_interceptor("int8", cfg, fused_map)):
             return model.apply(variables, *args, **kwargs)
 
     return apply_fn

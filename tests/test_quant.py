@@ -161,3 +161,57 @@ def test_percentile_calibration_outlier_robust():
         out = np.asarray(quantized_apply(net, cfg)(v_q, x))
         errs[est] = float(np.abs(out - ref)[1:].mean())  # rows w/o the outlier
     assert errs["percentile"] < errs["absmax"] * 0.5, errs
+
+
+def test_fused_bottleneck_kernel_matches_reference():
+    """ops/pallas_bottleneck.py kernel == its XLA reference (exact int8
+    math) across dilations, edge zero-padding and last_relu variants."""
+    import numpy as np
+    from segland_tpu.ops.pallas_bottleneck import (bottleneck_int8_reference,
+                                                   fused_bottleneck_int8)
+
+    rng = np.random.RandomState(0)
+    for (B, H, W, C, P, d, lr) in [(2, 16, 16, 64, 16, 1, True),
+                                   (1, 32, 8, 128, 32, 2, False),
+                                   (1, 16, 16, 64, 16, 4, True)]:
+        x = jnp.asarray(rng.randn(B, H, W, C), jnp.bfloat16)
+        w1 = jnp.asarray(rng.randint(-127, 127, (C, P)), jnp.int8)
+        w2 = jnp.asarray(rng.randint(-127, 127, (3, 3, P, P)), jnp.int8)
+        w3 = jnp.asarray(rng.randint(-127, 127, (P, C)), jnp.int8)
+        aff = lambda n: (jnp.asarray(rng.rand(n) * 1e-4 + 1e-5, jnp.float32),
+                         jnp.asarray(rng.randn(n) * 0.1, jnp.float32))
+        a1, b1 = aff(P); a2, b2 = aff(P); a3, b3 = aff(C)
+        s = dict(s_x=0.05, s_h1=0.01, s_h2=0.01)
+        ref = bottleneck_int8_reference(x, w1, w2, w3, a1, b1, a2, b2, a3, b3,
+                                        dilation=d, last_relu=lr, **s)
+        out = fused_bottleneck_int8(x, w1, w2, w3, a1, b1, a2, b2, a3, b3,
+                                    dilation=d, last_relu=lr, interpret=True, **s)
+        assert out is not None
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   rtol=0, atol=1e-3)
+
+
+def test_fused_blocks_interceptor_path():
+    """QuantConfig(fused_blocks=True) routes eligible Bottlenecks through
+    the fused kernel and stays close to the per-conv int8 path."""
+    import numpy as np
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    from benchmarks.resnet_stage_probe import Stage
+    from segland_tpu.quant import QuantConfig, calibrate, quantized_apply
+    from segland_tpu.quant.ptq import build_fused_block_inputs
+
+    mod = Stage(32, 2, 128, 1, 2)
+    x = (jax.random.normal(jax.random.PRNGKey(1), (1, 32, 16, 128)) * 2
+         ).astype(jnp.bfloat16)
+    v = mod.init(jax.random.PRNGKey(0), x)
+    vq = calibrate(mod, v, [x])
+    fmap = build_fused_block_inputs(vq, QuantConfig(fused_blocks=True))
+    assert sorted(fmap) == ["layer_0", "layer_1"]
+
+    plain = np.asarray(quantized_apply(mod)(vq, x), np.float32)
+    cfg = QuantConfig(fused_blocks=True, fused_interpret=True)
+    fused = np.asarray(quantized_apply(mod, cfg)(vq, x), np.float32)
+    scale = np.abs(plain).max()
+    assert np.abs(plain - fused).max() < 0.05 * scale
