@@ -56,6 +56,7 @@ class Evaluator:
                              "'quant' scales in variables")
         self.calib_batches = calib_batches
         self._calib_seen = 0
+        self._fwd = None
         self._predict = jax.jit(
             self._predict_fn, static_argnames=("out_h", "out_w", "want_logits"))
         if int8:
@@ -65,10 +66,11 @@ class Evaluator:
             cfg = quant_cfg or DEFAULT_CONFIG
             q_apply = quantized_apply(self.model, cfg)
 
+            q_fwd = self._make_fwd(q_apply)
+
             def predict_q(variables, img, out_h, out_w, want_logits=True):
                 return self._postprocess(
-                    q_apply(variables, self._pre(img), train=False), out_h, out_w,
-                    want_logits)
+                    q_fwd(variables, img), out_h, out_w, want_logits)
 
             def calib(variables, img):
                 with nn.intercept_methods(quant_interceptor("calibrate", cfg)):
@@ -95,8 +97,25 @@ class Evaluator:
         # big tensor never hits HBM
         return (logits if want_logits else None), pred
 
+    def _make_fwd(self, apply_fn):
+        """Forward producing model-resolution logits.  Over a mesh, wrap in
+        shard_map on the batch axis: GSPMD treats Pallas kernels (--fused,
+        fused_blocks) as opaque custom calls and would replicate their
+        operands; shard_map runs them per-shard on local data instead."""
+        def fwd(variables, img):
+            return apply_fn(variables, self._pre(img), train=False)
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            from jax.experimental.shard_map import shard_map
+
+            fwd = shard_map(fwd, mesh=self.mesh, in_specs=(P(), P("data")),
+                            out_specs=P("data"), check_rep=False)
+        return fwd
+
     def _predict_fn(self, variables, img, out_h, out_w, want_logits=True):
-        logits = self.model.apply(variables, self._pre(img), train=False)
+        if self._fwd is None:
+            self._fwd = self._make_fwd(self.model.apply)
+        logits = self._fwd(variables, img)
         return self._postprocess(logits, out_h, out_w, want_logits)
 
     def _stage(self, images: np.ndarray, batch_pad: Optional[int] = None):
