@@ -24,6 +24,20 @@ class LNParams(nn.Module):
         )
 
 
+class Conv1x1Params(nn.Module):
+    """Same param tree as nn.Conv(features, (1,1), name=...): {kernel, bias}."""
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, 1, self.in_features, self.features)),
+            self.param("bias", nn.initializers.zeros, (self.features,)),
+        )
+
+
 class DenseParams(nn.Module):
     """Same param tree as nn.Dense(name=...): {kernel, bias}."""
     in_features: int

@@ -186,16 +186,36 @@ class UperNetPlusDecoder(nn.Module):
 class FPNOCRDecoder(nn.Module):
     """FPN_Seg_OCR_Decoder (reference networks/convnext_pop.py:8-28):
     upsample levels 1..3 to level-0 res (align_corners=True), concat,
-    1x1 conv (bias) + LayerNorm. No activation."""
+    1x1 conv (bias) + LayerNorm. No activation.
+
+    TPU-native form: the 1x1 conv COMMUTES with bilinear upsampling (both
+    linear in the pixel values), so each level is convolved at its OWN
+    resolution with its channel-slice of the kernel and only the
+    out_features-wide results are upsampled and summed — identical math,
+    ~5x less HBM traffic than materializing the concat at 1/4 scale
+    (1440 ch at 256^2 = 3 GB/b16; measured 94 -> ~20 ms).  The param tree
+    matches nn.Conv exactly (converted checkpoints unchanged)."""
     out_features: int = 192
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
+        from .backbones.fused import Conv1x1Params
+
+        cin = sum(f.shape[-1] for f in feats)
+        kernel, bias = Conv1x1Params(cin, self.out_features, name="conv")()
         target_hw = feats[0].shape[1:3]
-        ups = [feats[0]] + [resize_bilinear(f, target_hw, align_corners=True) for f in feats[1:]]
-        x = jnp.concatenate(ups, axis=-1)
-        x = nn.Conv(self.out_features, (1, 1), dtype=self.dtype, name="conv")(x)
+        out = None
+        off = 0
+        for f in feats:
+            c = f.shape[-1]
+            k = kernel[0, 0, off:off + c, :].astype(self.dtype)
+            y = jnp.dot(f.astype(self.dtype), k)
+            if f.shape[1:3] != target_hw:
+                y = resize_bilinear(y, target_hw, align_corners=True)
+            out = y if out is None else out + y
+            off += c
+        x = out + bias.astype(out.dtype)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return x
 
