@@ -7,13 +7,13 @@ Baseline (BASELINE.json): >= 2000 tiles/sec on a v5e-8 at mIoU parity.
 This harness measures tiles/sec/chip on the available chip(s); vs_baseline is
 normalized against the per-chip share of the 8-chip target (250 tiles/s/chip).
 
-Two paths are measured and both appear in the metric label:
-  * bf16 — the accuracy-parity anchor (logits match the torch reference at
-    1e-3..5e-4 with converted weights, tests/test_parity_*.py);
-  * int8 PTQ (segland_tpu/quant, '--int8' in the eval CLIs) — the production
-    serving mode; the reported value.  Its outputs are argmax-identical to
-    bf16 on the e2e micro-model (tests/test_e2e.py::test_eval_base_cli_int8)
-    and cosine>0.98 on random init (tests/test_quant.py).
+Flagship: convnext_pop / convnext-t in bf16 with the fused Pallas LN+MLP
+kernel and the commuted FPN-OCR decoder — the fastest family at parity
+(BASELINE.md: 189.6 t/s vs deeplab int8 158, pspnet int8 108, fused swin 76)
+AND the accuracy-parity path itself (logits match the torch reference at
+1e-3 with converted weights, tests/test_parity_more_heads.py).  The int8 PTQ
+serving mode for the resnet families (deeplab/pspnet, ~1.45x there) is
+measured as the secondary number in the label.
 """
 
 import json
@@ -25,13 +25,12 @@ import jax.numpy as jnp
 
 BASELINE_TILES_PER_SEC_PER_CHIP = 2000 / 8  # v5e-8 target / 8 chips
 
-# deeplab_pop/resnet50 is the fastest family at parity (BASELINE.md sweep:
-# int8 b16 154 t/s vs pspnet 108, swin_pop fused 76); reference family
-# networks/deeplab_pop.py, logit parity tests/test_parity_more_heads.py
-MODEL = "deeplab_pop"
-BACKBONE = "resnet50"
+MODEL = "convnext_pop"
+BACKBONE = "convnext-t"
+ALT_MODEL = "deeplab_pop"       # int8 serving reference point
+ALT_BACKBONE = "resnet50"
 TILE = 1024
-BATCH_PER_CHIP = 16  # sweep: b16 154.1 t/s, b24 140, b32 155 (BASELINE.md)
+BATCH_PER_CHIP = 16
 WARMUP = 2
 ITERS = 10
 
@@ -55,31 +54,19 @@ def main():
     n_chips = jax.device_count()
     batch = BATCH_PER_CHIP * n_chips
 
-    model = build_model(MODEL, backbone=BACKBONE, n_base=7, dtype=jnp.bfloat16)
-    init_img = jnp.zeros((1, 64, 64, 3), jnp.float32)
-    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
-        jax.random.PRNGKey(0), init_img)
-
     img = jax.random.normal(jax.random.PRNGKey(1), (batch, TILE, TILE, 3), jnp.float32)
+    mesh = None
     if n_chips > 1:
-        from segland_tpu.dist import make_mesh, shard_batch, replicate
+        from segland_tpu.dist import make_mesh, replicate, shard_batch
 
         mesh = make_mesh()
-        variables = replicate(mesh, variables)
         img = shard_batch(mesh, img)
 
     def post(logits):
         # eval protocol: upsample logits to tile size, then argmax
-        # (reference eval_base.py:168); fused by XLA, never hits HBM
+        # (reference eval_base.py:168)
         logits = resize_bilinear(logits.astype(jnp.float32), (TILE, TILE), align_corners=True)
         return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
-
-    fwd_bf16 = jax.jit(lambda v, x: post(model.apply(v, x, train=False)))
-    # NOTE: QuantConfig(fused_blocks=True) (the Pallas bottleneck kernel)
-    # measured SLOWER than XLA's per-conv int8 path here (DMA-latency-bound
-    # at ~17us/grid-step; see BASELINE.md) — keep the interceptor path
-    q_apply = quantized_apply(model)
-    fwd_int8 = jax.jit(lambda v, x: post(q_apply(v, x, train=False)))
 
     @jax.jit
     def probe(o):
@@ -87,18 +74,38 @@ def main():
         # (block_until_ready alone under-reports over the axon tunnel)
         return o.astype(jnp.int32).sum()
 
-    v_int8 = calibrate(model, variables, [img])
-    dt_bf16 = measure(fwd_bf16, variables, img, probe)
-    dt_int8 = measure(fwd_int8, v_int8, img, probe)
+    def prep(model_name, backbone, **model_kw):
+        model = build_model(model_name, backbone=backbone, n_base=7,
+                            dtype=jnp.bfloat16, **model_kw)
+        variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
+        if mesh is not None:
+            from segland_tpu.dist import replicate
 
-    bf16_per_chip = batch * ITERS / dt_bf16 / n_chips
-    int8_per_chip = batch * ITERS / dt_int8 / n_chips
+            variables = replicate(mesh, variables)
+        return model, variables
+
+    # flagship: bf16 + fused kernels + commuted decoder (the parity path)
+    model, variables = prep(MODEL, BACKBONE, fused_mlp=True)
+    fwd = jax.jit(lambda v, x: post(model.apply(v, x, train=False)))
+    dt = measure(fwd, variables, img, probe)
+    flagship = batch * ITERS / dt / n_chips
+
+    # secondary: int8 PTQ serving on the resnet family
+    alt, alt_vars = prep(ALT_MODEL, ALT_BACKBONE)
+    q_apply = quantized_apply(alt)
+    fwd_int8 = jax.jit(lambda v, x: post(q_apply(v, x, train=False)))
+    v_int8 = calibrate(alt, alt_vars, [img])
+    dt8 = measure(fwd_int8, v_int8, img, probe)
+    alt_tps = batch * ITERS / dt8 / n_chips
+
     print(json.dumps({
-        "metric": (f"1024x1024 OEM tiles/sec/chip ({MODEL}/{BACKBONE} eval, int8 PTQ, "
-                   f"batch {BATCH_PER_CHIP}/chip; bf16 parity path: {bf16_per_chip:.1f})"),
-        "value": round(int8_per_chip, 2),
+        "metric": (f"1024x1024 OEM tiles/sec/chip ({MODEL}/{BACKBONE} bf16 eval, "
+                   f"fused Pallas kernels, batch {BATCH_PER_CHIP}/chip; "
+                   f"secondary {ALT_MODEL} int8 PTQ: {alt_tps:.1f})"),
+        "value": round(flagship, 2),
         "unit": "tiles/sec/chip",
-        "vs_baseline": round(int8_per_chip / BASELINE_TILES_PER_SEC_PER_CHIP, 3),
+        "vs_baseline": round(flagship / BASELINE_TILES_PER_SEC_PER_CHIP, 3),
     }))
 
 
