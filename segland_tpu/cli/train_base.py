@@ -71,7 +71,9 @@ def main(argv=None):
     loss_name = "orth" if "pop" in args.model else "ce"
 
     img0 = jnp.zeros((1,) + crop + (3,), jnp.float32)
-    variables = jax.jit(lambda k, x: model.init(k, x, train=True))(jax.random.PRNGKey(seed), img0)
+    variables = jax.jit(
+        lambda k, x: model.init({"params": k, "dropout": k}, x, train=True)
+    )(jax.random.PRNGKey(seed), img0)
 
     if args.restore_from:
         if args.restore_from.endswith(".pth"):
@@ -102,7 +104,7 @@ def main(argv=None):
     mesh = make_mesh(math.gcd(jax.device_count(), args.batch_size))
     state = replicate(mesh, state)
     raw_step = make_base_train_step(model, loss_name, double_step=args.double_step,
-                                    skip_nonfinite=args.skip_nonfinite)
+                                    skip_nonfinite=args.skip_nonfinite, seed=seed)
     train_step = jax.jit(raw_step, donate_argnums=0)
     # silent variant: identical update, returns only the new state.  Each
     # extra jit output costs ~50 ms of RPC handling over the axon tunnel

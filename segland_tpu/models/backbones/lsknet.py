@@ -6,13 +6,17 @@ residual and BN -> conv-MLP (with 3x3 depthwise) -> layer-scale residual,
 per-stage output LayerNorm.  LSK block: dual large-kernel depthwise (5x5 and
 7x7 dilation 3), channel-halving 1x1s, avg/max-pool spatial gating through a
 7x7 conv sigmoid, re-projection, multiplicative gate.
-Dropout/DropPath are identity at eval (drop 0.1 applied when train=True).
+Dropout/DropPath are identity at eval; at train=True the reference tiny
+config applies dropout 0.1 in the conv-MLP and stochastic depth 0.1 with the
+linspace decay rule (reference lsknet.py:134,193-203).
 """
 
 from typing import Any, Sequence
 
 import jax.numpy as jnp
 import flax.linen as nn
+
+from .droppath import DropPath, drop_path_rates
 
 
 def _bn(train, dtype, name):
@@ -61,17 +65,22 @@ class LSKStageBlock(nn.Module):
     dim: int
     mlp_ratio: float = 4.0
     drop: float = 0.1
+    drop_path: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         ls1 = self.param("layer_scale_1", nn.initializers.constant(1e-2), (self.dim,))
         ls2 = self.param("layer_scale_2", nn.initializers.constant(1e-2), (self.dim,))
+        dp = self.drop_path > 0.0 and train
+        dp1 = DropPath(self.drop_path, name="drop_path1")
+        dp2 = DropPath(self.drop_path, name="drop_path2")
         h = _bn(train, self.dtype, "norm1")(x)
         h = LSKAttention(self.dim, dtype=self.dtype, name="attn")(h)
         # cast the fp32 layer-scale params: a bare `ls * h` promotes every
         # block output to fp32 in bf16 mode (2x HBM traffic network-wide)
-        x = x + ls1.astype(h.dtype) * h
+        h = ls1.astype(h.dtype) * h
+        x = x + (dp1(h, train) if dp else h)
         h = _bn(train, self.dtype, "norm2")(x)
         hidden = int(self.dim * self.mlp_ratio)
         h = nn.Conv(hidden, (1, 1), dtype=self.dtype, name="mlp_fc1")(h)
@@ -81,7 +90,8 @@ class LSKStageBlock(nn.Module):
         h = nn.Dropout(self.drop, deterministic=not train, name="mlp_drop1")(h)
         h = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="mlp_fc2")(h)
         h = nn.Dropout(self.drop, deterministic=not train, name="mlp_drop2")(h)
-        return x + ls2.astype(h.dtype) * h
+        h = ls2.astype(h.dtype) * h
+        return x + (dp2(h, train) if dp else h)
 
 
 class LSKNet(nn.Module):
@@ -89,11 +99,14 @@ class LSKNet(nn.Module):
     depths: Sequence[int] = (3, 3, 5, 2)
     mlp_ratios: Sequence[float] = (8, 8, 4, 4)
     drop_rate: float = 0.1
+    drop_path_rate: float = 0.1  # reference lsknet.py:201 (lsknet_tiny)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         outs = []
+        dpr = drop_path_rates(self.drop_path_rate, self.depths)
+        cur = 0
         for i in range(len(self.depths)):
             k, s = (7, 4) if i == 0 else (3, 2)
             x = nn.Conv(self.embed_dims[i], (k, k), strides=(s, s), padding=[(k // 2,) * 2] * 2,
@@ -101,7 +114,9 @@ class LSKNet(nn.Module):
             x = _bn(train, self.dtype, f"patch_embed{i+1}_norm")(x)
             for j in range(self.depths[i]):
                 x = LSKStageBlock(self.embed_dims[i], self.mlp_ratios[i], self.drop_rate,
+                                  drop_path=dpr[cur + j],
                                   dtype=self.dtype, name=f"block{i+1}_{j}")(x, train)
+            cur += self.depths[i]
             x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=f"norm{i+1}")(x)
             outs.append(x)
         return outs  # fine->coarse

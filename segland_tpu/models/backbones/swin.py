@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from .droppath import DropPath, drop_path_rates
+
 _CONFIGS = {
     "swin-t": dict(depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24), embed_dim=96),
     "swin-s": dict(depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24), embed_dim=96),
@@ -166,17 +168,23 @@ class SwinBlock(nn.Module):
     window_size: int = 7
     shift_size: int = 0
     mlp_ratio: float = 4.0
+    drop_path: float = 0.0
     use_pallas: bool = False
     fused_mlp: bool = False
     fused_attn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        """x: [B,H,W,C] NHWC (H,W static)."""
+    def __call__(self, x, train: bool = False):
+        """x: [B,H,W,C] NHWC (H,W static).  Stochastic depth applied to both
+        residual branches when train=True (reference swintransformer.py:169,186
+        via timm DropPath, rate from the linspace decay over all blocks)."""
         b, h, w, c = x.shape
         ws = self.window_size
         shortcut = x
+        dp = self.drop_path > 0.0 and train
+        dp1 = DropPath(self.drop_path, name="drop_path1")
+        dp2 = DropPath(self.drop_path, name="drop_path2")
         pad_b = (-h) % ws
         pad_r = (-w) % ws
         hp, wp = h + pad_b, w + pad_r
@@ -212,7 +220,10 @@ class SwinBlock(nn.Module):
             if pad_b or pad_r:
                 x = x[:, :h, :w, :]
             # residual was added inside the kernel (on the padded/rolled
-            # domain, where it commutes with reverse/unroll/unpad)
+            # domain, where it commutes with reverse/unroll/unpad); recover
+            # the branch for stochastic depth as (out - shortcut)
+            if dp:
+                x = shortcut + dp1(x - shortcut, train)
         else:
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
             if pad_b or pad_r:
@@ -231,7 +242,7 @@ class SwinBlock(nn.Module):
             if pad_b or pad_r:
                 x = x[:, :h, :w, :]
 
-            x = shortcut + x
+            x = shortcut + (dp1(x, train) if dp else x)
         hidden = int(c * self.mlp_ratio)
         if self.fused_mlp:
             from ...ops.pallas_mlp import fused_ln_mlp
@@ -240,12 +251,13 @@ class SwinBlock(nn.Module):
             gamma, beta = LNParams(c, name="norm2")()
             w1, b1 = DenseParams(c, hidden, name="mlp_fc1")()
             w2, b2 = DenseParams(hidden, c, name="mlp_fc2")()
-            return fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2, eps=1e-5)
+            out = fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2, eps=1e-5)
+            return x + dp2(out - x, train) if dp else out
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(hidden, dtype=self.dtype, name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")(y)
-        return x + y
+        return x + (dp2(y, train) if dp else y)
 
 
 class PatchMerging(nn.Module):
@@ -272,6 +284,7 @@ class SwinTransformer(nn.Module):
     embed_dim: int = 96
     window_size: int = 7
     patch_size: int = 4
+    drop_path_rate: float = 0.2  # reference swintransformer.py:478 default
     use_pallas: bool = False
     fused_mlp: bool = False
     fused_attn: bool = False
@@ -290,16 +303,20 @@ class SwinTransformer(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_embed_norm")(x)
 
         outs = []
+        dpr = drop_path_rates(self.drop_path_rate, self.depths)
+        cur = 0
         for i, depth in enumerate(self.depths):
             dim = int(self.embed_dim * 2 ** i)
             for j in range(depth):
                 x = SwinBlock(
                     dim, self.num_heads[i], self.window_size,
                     shift_size=0 if j % 2 == 0 else self.window_size // 2,
+                    drop_path=dpr[cur + j],
                     use_pallas=self.use_pallas, fused_mlp=self.fused_mlp,
                     fused_attn=self.fused_attn,
                     dtype=self.dtype, name=f"layers_{i}_blocks_{j}",
-                )(x)
+                )(x, train=train)
+            cur += depth
             out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"out_norm{i}")(x)
             outs.append(out)
             if i < len(self.depths) - 1:

@@ -16,7 +16,7 @@ from ..ops.resize import resize_bilinear
 
 
 def make_base_train_step(model, loss_name: str = "orth", double_step: bool = False,
-                         skip_nonfinite: bool = False):
+                         skip_nonfinite: bool = False, seed: int = 0):
     """Returns train_step(state, img [B,H,W,3], mask [B,H,W]) ->
     (state, loss_dict, grad_norm).
 
@@ -35,17 +35,22 @@ def make_base_train_step(model, loss_name: str = "orth", double_step: bool = Fal
     is_pop = loss_name == "orth"
 
     def train_step(state, img, mask):
+        # one "dropout" stream feeds nn.Dropout AND DropPath (stochastic
+        # depth) in the swin/lsknet/psp_v2 train paths; deterministic per
+        # (seed, step) so resume reproduces the same noise sequence.
+        rngs = {"dropout": jax.random.fold_in(jax.random.PRNGKey(seed), state.step)}
+
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             if is_pop:
                 (logits, sim), new_state = state.apply_fn(
                     variables, img, train=True, mutable=["batch_stats"],
-                    method=type(model).forward_base,
+                    rngs=rngs, method=type(model).forward_base,
                 )
                 ld = orth_loss(logits, mask, sim)
             else:
                 (out, new_state) = state.apply_fn(
-                    variables, img, train=True, mutable=["batch_stats"]
+                    variables, img, train=True, mutable=["batch_stats"], rngs=rngs
                 )
                 logits, aux = out
                 ld = ce_loss(logits, mask, aux_logits=aux)

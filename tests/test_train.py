@@ -194,3 +194,100 @@ def test_skip_nonfinite_guard():
     assert int(state3.step) == int(state2.step) + 1
     assert not np.allclose(
         np.asarray(jax.tree_util.tree_leaves(state3.params)[0]), np.asarray(p0))
+
+
+# ---------------------------------------------------------------------------
+# Every head family must base-train (reference train_base.py:184 supports
+# every registry name).  Round-1 shipped a dropout-rng crash in swin_pop /
+# lsk_pop because train tests never left resnet10 — this is the guard.
+
+_FAMILY_BACKBONES = {
+    "pspnet_pop": "resnet10",
+    "pspplus_pop": "resnet10",
+    "deeplab_pop": "resnet10",
+    "swin_pop": "swin-t",
+    "convnext_pop": "convnext-t",
+    "lsk_pop": "lsk-t",
+    "seghr_pop": "hr-w18",
+    "vggunet_pop": "vgg16bn-unet",
+}
+
+_FAST_FAMILIES = ("swin_pop", "lsk_pop")  # the round-1 crashers stay in the fast suite
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=() if n in _FAST_FAMILIES else (pytest.mark.slow,))
+        for n in _FAMILY_BACKBONES
+    ],
+)
+def test_base_train_step_every_family(name):
+    model = build_model(name, backbone=_FAMILY_BACKBONES[name], n_base=7)
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    mask = jnp.full((1, 32, 32), 3, jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(7)},
+        img, train=True)
+    tx = create_optimizer(variables["params"], 1e-3, 10, 2)
+    state = create_train_state(model, variables, tx)
+    step = jax.jit(make_base_train_step(model))
+    losses = []
+    for _ in range(3):
+        state, ld, gn = step(state, img, mask)
+        losses.append(float(ld["total_loss"]))
+    assert np.isfinite(losses).all() and float(gn) > 0
+    assert losses[-1] < losses[0]
+
+
+def test_droppath_eval_identity_and_train_stochastic():
+    """DropPath: identity at eval (parity tests / converted ckpts untouched);
+    at train it consumes the dropout rng, drops whole per-sample branches,
+    and preserves the expected value via 1/keep scaling."""
+    from segland_tpu.models.backbones.droppath import DropPath, drop_path_rates
+
+    rates = drop_path_rates(0.2, (2, 2, 6, 2))
+    assert len(rates) == 12 and rates[0] == 0.0 and rates[-1] == pytest.approx(0.2)
+    # linspace decay rule (reference lsknet.py:134)
+    assert rates[6] == pytest.approx(0.2 * 6 / 11)
+
+    dp = DropPath(0.5)
+    x = jnp.ones((512, 4))
+    # eval: exact identity, no rng needed
+    y = dp.apply({}, x, train=False)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+    # train: rows either dropped or scaled by 1/keep, mean ~ preserved
+    y = dp.apply({}, x, train=True, rngs={"dropout": jax.random.PRNGKey(0)})
+    y = np.asarray(y)
+    rowvals = np.unique(y)
+    assert set(np.round(rowvals, 5)) <= {0.0, 2.0}
+    assert 0.8 < y.mean() < 1.2
+
+
+def test_swin_lsk_droppath_wired():
+    """Train-mode swin/lsknet forwards differ across dropout rngs (stochastic
+    depth active) and eval-mode equals a drop_path_rate=0 model exactly."""
+    from segland_tpu.models.backbones.swin import SwinTransformer
+    from segland_tpu.models.backbones.lsknet import LSKNet
+
+    for mk in (
+        lambda r: SwinTransformer(depths=(1, 1), num_heads=(3, 6), embed_dim=24,
+                                  drop_path_rate=r),
+        lambda r: LSKNet(embed_dims=(8, 16), depths=(1, 1), mlp_ratios=(2, 2),
+                         drop_path_rate=r),
+    ):
+        bb, bb0 = mk(0.5), mk(0.0)
+        img = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16, 3))
+        variables = bb.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            img, train=True)
+
+        def fwd(module, rng_seed, train):
+            kw = dict(rngs={"dropout": jax.random.PRNGKey(rng_seed)}) if train else {}
+            out = module.apply(variables, img, train=train,
+                               mutable=["batch_stats"], **kw)[0]
+            return np.asarray(out[-1], np.float32)
+
+        a, b = fwd(bb, 10, True), fwd(bb, 11, True)
+        assert not np.allclose(a, b), type(bb).__name__
+        np.testing.assert_array_equal(fwd(bb, 0, False), fwd(bb0, 0, False))
