@@ -85,16 +85,32 @@ def main():
             variables = replicate(mesh, variables)
         return model, variables
 
+    def make_fwd(apply_fn):
+        # over a mesh: shard_map on the batch axis, mirroring
+        # evallib.infer.Evaluator._make_fwd — GSPMD treats Pallas kernels as
+        # opaque custom calls and would otherwise all-gather their operands,
+        # which would misreport tiles/s/chip on multichip hosts
+        def fwd(v, x):
+            return post(apply_fn(v, x, train=False))
+
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            from jax.experimental.shard_map import shard_map
+
+            fwd = shard_map(fwd, mesh=mesh, in_specs=(P(), P("data")),
+                            out_specs=P("data"), check_rep=False)
+        return jax.jit(fwd)
+
     # flagship: bf16 + fused kernels + commuted decoder (the parity path)
     model, variables = prep(MODEL, BACKBONE, fused_mlp=True)
-    fwd = jax.jit(lambda v, x: post(model.apply(v, x, train=False)))
+    fwd = make_fwd(model.apply)
     dt = measure(fwd, variables, img, probe)
     flagship = batch * ITERS / dt / n_chips
 
     # secondary: int8 PTQ serving on the resnet family
     alt, alt_vars = prep(ALT_MODEL, ALT_BACKBONE)
     q_apply = quantized_apply(alt)
-    fwd_int8 = jax.jit(lambda v, x: post(q_apply(v, x, train=False)))
+    fwd_int8 = make_fwd(q_apply)
     v_int8 = calibrate(alt, alt_vars, [img])
     dt8 = measure(fwd_int8, v_int8, img, probe)
     alt_tps = batch * ITERS / dt8 / n_chips

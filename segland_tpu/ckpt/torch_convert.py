@@ -254,11 +254,15 @@ _LSK_RULES += _ln_rules(r"backbone\.norm(\d)", lambda m: ("backbone", f"norm{m[1
 # --- vgg16bn-unet (torch attr is `net`, ours is `backbone`) ---
 _VGG_RULES = []
 _VGG_SLICES = {  # torch Sequential index -> (flax block, conv idx)
+    # nn.Sequential slicing PRESERVES the original module names (keys), so
+    # vgg16_bn.features[5:12] yields children named "5".."11" and the conv
+    # indices below are the GLOBAL features indices (verified against the
+    # real reference state dict in test_vggunet_pop_parity)
     "inc": ("enc1", [0, 3]),
-    "down1": ("enc2", [2, 5]),
-    "down2": ("enc3", [2, 5, 8]),
-    "down3": ("enc4", [2, 5, 8]),
-    "down4": ("enc5", [2, 5, 8]),
+    "down1": ("enc2", [7, 10]),
+    "down2": ("enc3", [14, 17, 20]),
+    "down3": ("enc4", [24, 27, 30]),
+    "down4": ("enc5", [34, 37, 40]),
 }
 for _seg, (_blk_name, _idxs) in _VGG_SLICES.items():
     for _k, _ti in enumerate(_idxs):

@@ -65,7 +65,11 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--fused", action="store_true",
                    help="Pallas fused LN+MLP and attention-section kernels in "
                         "transformer backbones (swin/convnext); exact on the "
-                        "XLA fallback, bf16-rounding-level deltas on TPU")
+                        "XLA fallback, bf16-rounding-level deltas on TPU. "
+                        "With --int8 also routes eligible resnet bottlenecks "
+                        "through the fused block kernel (requires "
+                        "--dtype bfloat16 and a TPU backend; logs a warning "
+                        "and falls back to per-conv int8 otherwise)")
     p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"],
                    help="backbone/decoder compute dtype (POP head always fp32)")
     return p

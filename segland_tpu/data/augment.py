@@ -122,3 +122,131 @@ def random_scale_resize(rng: _random.Random, image, label, ratio_range):
     image = _pil_resize(image, (new_w, new_h), Image.BILINEAR)
     label = _pil_resize(label, (new_w, new_h), Image.NEAREST)
     return image, label
+
+
+def fixed_resize(image, label=None, base_size=(1024, 1024)):
+    """Exact resize to base_size ignoring aspect (base_dataset.py:65-72):
+    linear for image, nearest for label."""
+    dsize = (base_size[1], base_size[0])  # PIL takes (w, h)
+    image = _pil_resize(image, dsize, Image.BILINEAR)
+    if label is not None:
+        label = _pil_resize(label, dsize, Image.NEAREST)
+        return image, label
+    return image
+
+
+def square_resize(rng: _random.Random, image, label=None, base_size=(1024, 1024),
+                  ratio_range=(0.9, 1.1), random_scale=False):
+    """Resize to a (possibly randomly scaled) square base_size ignoring
+    aspect (base_dataset.py:74-86)."""
+    if random_scale:
+        lo, hi = ratio_range
+        f = rng.random() * (hi - lo) + lo
+        dsize = (int(base_size[1] * f + 0.5), int(base_size[0] * f + 0.5))
+    else:
+        dsize = (base_size[1], base_size[0])
+    image = _pil_resize(image, dsize, Image.BILINEAR)
+    if label is not None:
+        label = _pil_resize(label, dsize, Image.NEAREST)
+        return image, label
+    return image
+
+
+# cv2.getGaussianKernel(5, sigma<=0) returns this fixed small-kernel table
+# (OpenCV small_gaussian_tab), which is what GaussianBlur(ksize=(5,5), 0)
+# uses in base_dataset.py:112-115.
+_GAUSS5 = np.array([0.0625, 0.25, 0.375, 0.25, 0.0625], np.float32)
+
+
+def gaussian_blur5(image: np.ndarray) -> np.ndarray:
+    """Separable 5x5 Gaussian with cv2's fixed small kernel and
+    BORDER_REFLECT_101 (cv2.GaussianBlur defaults)."""
+    from scipy.ndimage import convolve1d
+
+    src = image.astype(np.float32)
+    out = convolve1d(src, _GAUSS5, axis=0, mode="mirror")
+    out = convolve1d(out, _GAUSS5, axis=1, mode="mirror")
+    if np.issubdtype(image.dtype, np.integer):
+        info = np.iinfo(image.dtype)
+        out = np.clip(np.rint(out), info.min, info.max).astype(image.dtype)
+    return out
+
+
+def random_gaussian(rng: _random.Random, image, p: float = 0.5):
+    """(base_dataset.py:112-115)"""
+    if rng.random() < p:
+        image = gaussian_blur5(image)
+    return image
+
+
+def _warp_rotate(arr: np.ndarray, angle_deg: float, cval, nearest: bool) -> np.ndarray:
+    """cv2.warpAffine(getRotationMatrix2D((w/2, h/2), angle, 1)) semantics:
+    integer pixel-center coordinates, the reference's half-pixel-off center
+    (w/2, h/2), BORDER_CONSTANT, INTER_LINEAR or INTER_NEAREST."""
+    h, w = arr.shape[:2]
+    theta = np.deg2rad(angle_deg)
+    a, b = np.cos(theta), np.sin(theta)
+    cx, cy = w / 2.0, h / 2.0
+    # dst->src map (warpAffine inverts the src->dst rotation internally)
+    xs_d, ys_d = np.meshgrid(np.arange(w, dtype=np.float64),
+                             np.arange(h, dtype=np.float64))
+    xs = a * (xs_d - cx) - b * (ys_d - cy) + cx
+    ys = b * (xs_d - cx) + a * (ys_d - cy) + cy
+    if nearest:
+        xi = np.floor(xs + 0.5).astype(np.int64)
+        yi = np.floor(ys + 0.5).astype(np.int64)
+        inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        out = np.full(arr.shape, cval, arr.dtype)
+        out[inside] = arr[yi[inside], xi[inside]]
+        return out
+    x0 = np.floor(xs).astype(np.int64)
+    y0 = np.floor(ys).astype(np.int64)
+    fx = (xs - x0).astype(np.float32)
+    fy = (ys - y0).astype(np.float32)
+    src = arr.astype(np.float32)
+    if src.ndim == 2:
+        src = src[:, :, None]
+    cval_arr = np.broadcast_to(np.asarray(cval, np.float32), (src.shape[2],))
+
+    def tap(yy, xx):
+        inside = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
+        vals = src[np.clip(yy, 0, h - 1), np.clip(xx, 0, w - 1)]
+        return np.where(inside[..., None], vals, cval_arr)
+
+    out = ((1 - fy)[..., None] * ((1 - fx)[..., None] * tap(y0, x0) + fx[..., None] * tap(y0, x0 + 1))
+           + fy[..., None] * ((1 - fx)[..., None] * tap(y0 + 1, x0) + fx[..., None] * tap(y0 + 1, x0 + 1)))
+    if arr.ndim == 2:
+        out = out[..., 0]
+    if np.issubdtype(arr.dtype, np.integer):
+        info = np.iinfo(arr.dtype)
+        out = np.clip(np.rint(out), info.min, info.max)
+    return out.astype(arr.dtype)
+
+
+def random_rotate(rng: _random.Random, image, label, p: float = 0.5,
+                  rotate_range=(-10.0, 10.0), padding=None,
+                  ignore_label: int = IGNORE_LABEL):
+    """Small-angle rotation, re-drawn until class 1 survives
+    (base_dataset.py:117-132): up to 5 angle draws; accepted only if the
+    rotated label still contains a class-1 pixel (the binarized target class
+    on the oem_ft val_supp path, oem_ft.py:251), else the original pair is
+    kept.  Image border = mean*255 (self.padding, base_dataset.py:15),
+    label border = ignore."""
+    if padding is None:
+        padding = [v * 255.0 for v in IMAGENET_MEAN]
+    if rng.random() < p:
+        rotate_cnt = 0
+        while rotate_cnt < 5:
+            angle = rotate_range[0] + (rotate_range[1] - rotate_range[0]) * rng.random()
+            # the reference normalizes BGR->RGB *after* rotation, so the
+            # cv2 borderValue list is applied to the raw BGR channels;
+            # padding is symmetric for OEM (mean 0.5 or near-equal ImageNet)
+            cval = padding if image.ndim == 3 else np.asarray(padding).ravel()[0]
+            image_tmp = _warp_rotate(image, angle, cval, nearest=False)
+            label_tmp = _warp_rotate(label, angle, ignore_label, nearest=True)
+            if np.sum(label_tmp == 1) > 0:
+                break
+            rotate_cnt += 1
+        if rotate_cnt < 5:
+            image, label = image_tmp, label_tmp
+    return image, label

@@ -160,6 +160,10 @@ class OEMFtTrainDataset:
             new_label = label.copy()
             new_label[(label != target_cls) & (label != self.ignore_label)] = 0
             new_label[label == target_cls] = 1
+            # +-10-degree rotate with retry-until-target-present, then flip
+            # (reference oem_ft.py:251-252; val_supp uses ImageNet padding)
+            image, new_label = A.random_rotate(
+                self.rng, image, new_label, ignore_label=self.ignore_label)
             image, new_label = A.random_flip(self.rng, image, new_label)
             image = A.normalize(image, A.IMAGENET_MEAN, A.IMAGENET_STD)
             images.append(np.ascontiguousarray(image))

@@ -56,7 +56,10 @@ class Evaluator:
                              "'quant' scales in variables")
         self.calib_batches = calib_batches
         self._calib_seen = 0
-        self._fwd = None
+        # built eagerly: mesh is known here, and baking it in at first-trace
+        # time via instance-state mutation inside jit was fragile (a later
+        # mesh change would silently reuse the stale closure)
+        self._fwd = self._make_fwd(self.model.apply)
         self._predict = jax.jit(
             self._predict_fn, static_argnames=("out_h", "out_w", "want_logits"))
         if int8:
@@ -113,8 +116,6 @@ class Evaluator:
         return fwd
 
     def _predict_fn(self, variables, img, out_h, out_w, want_logits=True):
-        if self._fwd is None:
-            self._fwd = self._make_fwd(self.model.apply)
         logits = self._fwd(variables, img)
         return self._postprocess(logits, out_h, out_w, want_logits)
 

@@ -2,8 +2,12 @@
 
 Fused backbone+decoder returning full-resolution 64-channel features.
 Faithful quirk: the reference slices torchvision vgg16_bn.features so each
-skip snapshot (x1..x5) is taken BEFORE the block's trailing ReLU (the ReLU
-is the first op of the next slice, vggunet_pop.py:56-60); decoder ups use
+block's trailing ReLU is the first op of the NEXT slice — and because those
+ReLUs are ``inplace=True``, calling down_k(x_k) MUTATES the saved skip
+tensor x_k in place (vggunet_pop.py:71-75).  Net effect: skips x1..x4 are
+POST-ReLU by the time the Up stages consume them, while x5 (never fed to a
+later encoder slice) stays PRE-ReLU.  Verified against the live reference in
+tests/test_parity_more_heads.py::test_vggunet_pop_parity.  Decoder ups use
 bilinear 2x (align_corners=True) + DoubleConv with mid = in//2.
 """
 
@@ -37,11 +41,13 @@ class VGGUNet(nn.Module):
             pre = _cbr(x, feats, train, dt, f"{name}_{n_convs-1}", relu=False)
             return pre, nn.relu(pre)
 
-        x1, x = block(x, 64, 2, "enc1")
-        x2, x = block(max_pool_2x2(x), 128, 2, "enc2")
-        x3, x = block(max_pool_2x2(x), 256, 3, "enc3")
-        x4, x = block(max_pool_2x2(x), 512, 3, "enc4")
-        x5, x = block(max_pool_2x2(x), 512, 3, "enc5")
+        # skips: post-ReLU for x1..x4 (the reference's inplace ReLUs mutate
+        # them before the Up stages run), pre-ReLU for x5 (see module doc)
+        _, x1 = block(x, 64, 2, "enc1")
+        _, x2 = block(max_pool_2x2(x1), 128, 2, "enc2")
+        _, x3 = block(max_pool_2x2(x2), 256, 3, "enc3")
+        _, x4 = block(max_pool_2x2(x3), 512, 3, "enc4")
+        x5, _ = block(max_pool_2x2(x4), 512, 3, "enc5")
 
         def up(x_deep, skip, out_ch, mid_ch, name):
             u = resize_bilinear(x_deep, (x_deep.shape[1] * 2, x_deep.shape[2] * 2), align_corners=True)

@@ -355,16 +355,19 @@ def _attn_section_fwd(x_win, mask_tok, regions, gamma, beta, wqkv, bqkv,
 def _attn_section_bwd(num_heads, eps, interpret, saved, g):
     x_win, mask_tok, regions, gamma, beta, wqkv, bqkv, wproj, bproj, bias = saved
 
-    def f(x_win_, gamma_, beta_, wqkv_, bqkv_, wproj_, bproj_):
+    def f(x_win_, gamma_, beta_, wqkv_, bqkv_, wproj_, bproj_, bias_):
         return attn_section_reference(x_win_, mask_tok, gamma_, beta_, wqkv_,
-                                      bqkv_, wproj_, bproj_, bias, num_heads,
+                                      bqkv_, wproj_, bproj_, bias_, num_heads,
                                       eps, regions=regions)
 
-    _, vjp = jax.vjp(f, x_win, gamma, beta, wqkv, bqkv, wproj, bproj)
-    dx, dg, db, dwq, dbq, dwp, dbp = vjp(g)
+    # bias is differentiated too: the relative_position_bias_table is a
+    # trained parameter (reference swintransformer.py:94,115) — a zero
+    # cotangent here would silently freeze it under --fused training.
+    _, vjp = jax.vjp(f, x_win, gamma, beta, wqkv, bqkv, wproj, bproj, bias)
+    dx, dg, db, dwq, dbq, dwp, dbp, dbias = vjp(g)
     return (dx, jnp.zeros_like(mask_tok),
             None if regions is None else jnp.zeros_like(regions),
-            dg, db, dwq, dbq, dwp, dbp, jnp.zeros_like(bias))
+            dg, db, dwq, dbq, dwp, dbp, dbias)
 
 
 _attn_section.defvjp(_attn_section_fwd, _attn_section_bwd)

@@ -308,6 +308,21 @@ def quantized_apply(model, cfg: QuantConfig = DEFAULT_CONFIG):
                 "int8 inference requires activation scales - run quant.calibrate first")
         fused_map = (build_fused_block_inputs(variables, cfg)
                      if cfg.fused_blocks else None)
+        if cfg.fused_blocks:
+            # the fused kernel additionally gates per-call on bfloat16
+            # activations + (TPU backend or fused_interpret) + stride-1
+            # no-downsample Bottlenecks — warn instead of silently doing
+            # nothing when the request cannot take effect (advisor finding)
+            import logging
+
+            log = logging.getLogger(__name__)
+            if not fused_map:
+                log.warning("fused_blocks requested but no Bottleneck has a "
+                            "fused-eligible weight set; per-conv int8 only")
+            elif not (cfg.fused_interpret or jax.default_backend() == "tpu"):
+                log.warning("fused_blocks requested but backend is %s (needs "
+                            "TPU, or QuantConfig(fused_interpret=True)); "
+                            "per-conv int8 only", jax.default_backend())
         with nn.intercept_methods(quant_interceptor("int8", cfg, fused_map)):
             return model.apply(variables, *args, **kwargs)
 

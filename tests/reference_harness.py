@@ -48,12 +48,42 @@ def _trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
     return nn.init.trunc_normal_(tensor, mean, std, a, b)
 
 
+def _vgg16_bn():
+    """Hand-built torchvision vgg16_bn-equivalent encoder (cfg "D" with
+    BatchNorm): 13 convs + 5 maxpools in one flat ``features`` Sequential
+    whose indices match torchvision's exactly, so the reference's slicing
+    (``vgg16_bn.features[:5]`` etc., vggunet_pop.py:56-60) and the resulting
+    state-dict key numbering are reproduced.  Random-init only — the parity
+    tests convert whatever weights come out."""
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+           512, 512, 512, "M", 512, 512, 512, "M"]
+    layers = []
+    in_ch = 3
+    for v in cfg:
+        if v == "M":
+            layers.append(nn.MaxPool2d(kernel_size=2, stride=2))
+        else:
+            layers += [nn.Conv2d(in_ch, v, kernel_size=3, padding=1),
+                       nn.BatchNorm2d(v), nn.ReLU(inplace=True)]
+            in_ch = v
+    wrapper = nn.Module()
+    wrapper.features = nn.Sequential(*layers)
+    # torchvision VGG init (vision/torchvision/models/vgg.py)
+    for m in wrapper.features.modules():
+        if isinstance(m, nn.Conv2d):
+            nn.init.kaiming_normal_(m.weight, mode="fan_out", nonlinearity="relu")
+            nn.init.constant_(m.bias, 0)
+    return wrapper
+
+
 def install_stubs():
     if "cv2" not in sys.modules:
         _stub_module("cv2")
     if "torchvision" not in sys.modules:
         tv = _stub_module("torchvision")
         tv.models = _stub_module("torchvision.models")
+    if not hasattr(sys.modules["torchvision.models"], "vgg16_bn"):
+        sys.modules["torchvision.models"].vgg16_bn = _vgg16_bn
     if "rasterio" not in sys.modules:
         _stub_module("rasterio")
     if "timm" not in sys.modules:

@@ -196,3 +196,99 @@ def test_loader_uses_get_batch(data_root):
     batches = list(Loader(ds, 2, shuffle=False, drop_last=False))
     assert calls and len(batches) == 2
     assert batches[0][0].shape == (2, 64, 64, 3)
+
+
+def test_gaussian_blur5_impulse_and_kernel():
+    """cv2.GaussianBlur((5,5), 0) uses the fixed small-kernel tab
+    [1,4,6,4,1]/16; an interior impulse reproduces its outer product."""
+    import random
+
+    img = np.zeros((11, 11), np.float32)
+    img[5, 5] = 256.0
+    out = A.gaussian_blur5(img)
+    want = np.outer(A._GAUSS5, A._GAUSS5) * 256.0
+    np.testing.assert_allclose(out[3:8, 3:8], want, atol=1e-4)
+    assert abs(out.sum() - 256.0) < 1e-3  # kernel normalized; mirror conserves
+
+    # uint8 in -> uint8 out (matches cv2 dtype behavior), p-gating
+    u = np.full((8, 8, 3), 100, np.uint8)
+    assert A.gaussian_blur5(u).dtype == np.uint8
+    rng = random.Random(0)
+    same = A.random_gaussian(random.Random(1), u, p=0.0)
+    assert same is u
+
+
+def test_fixed_and_square_resize():
+    import random
+
+    img = np.arange(20 * 10 * 3, dtype=np.uint8).reshape(20, 10, 3)
+    lbl = (np.arange(20 * 10, dtype=np.uint8) % 5).reshape(20, 10)
+    im2, lb2 = A.fixed_resize(img, lbl, base_size=(8, 6))
+    assert im2.shape == (8, 6, 3) and lb2.shape == (8, 6)
+    assert set(np.unique(lb2)) <= set(np.unique(lbl))  # nearest: no new ids
+
+    im3, lb3 = A.square_resize(random.Random(0), img, lbl, base_size=(8, 8))
+    assert im3.shape == (8, 8, 3) and lb3.shape == (8, 8)
+    im4, _ = A.square_resize(random.Random(0), img, lbl, base_size=(100, 100),
+                             ratio_range=(0.5, 0.5), random_scale=True)
+    assert im4.shape == (50, 50, 3)
+
+
+def test_warp_rotate_identity_and_borders():
+    img = np.random.RandomState(0).randint(0, 255, (16, 16, 3), np.uint8)
+    lbl = np.random.RandomState(1).randint(0, 4, (16, 16), np.uint8)
+    # angle 0: the affine map is exactly identity
+    np.testing.assert_array_equal(A._warp_rotate(img, 0.0, [0, 0, 0], nearest=False), img)
+    np.testing.assert_array_equal(A._warp_rotate(lbl, 0.0, 255, nearest=True), lbl)
+    # rotated label: values only from the original set + ignore at borders
+    rot = A._warp_rotate(lbl, 10.0, 255, nearest=True)
+    assert set(np.unique(rot)) <= set(np.unique(lbl)) | {255}
+    assert (rot == 255).any()  # corners swing out of bounds at 10 degrees
+    # bilinear interpolation of a linear ramp is exact: the rotated output
+    # must equal the ramp evaluated at the inverse-mapped coordinates
+    h = w = 16
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    ramp = (3.0 * xs + 2.0 * ys).astype(np.float32)
+    ang = 10.0
+    th = np.deg2rad(ang)
+    a, b = np.cos(th), np.sin(th)
+    cx, cy = w / 2.0, h / 2.0
+    sx = a * (xs - cx) - b * (ys - cy) + cx
+    sy = b * (xs - cx) + a * (ys - cy) + cy
+    want = 3.0 * sx + 2.0 * sy
+    got = A._warp_rotate(ramp, ang, 0.0, nearest=False)
+    inside = (sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1)
+    np.testing.assert_allclose(got[inside], want[inside].astype(np.float32), atol=1e-3)
+
+
+def test_random_rotate_retry_until_class1():
+    import random
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    # label with class 1 everywhere: rotation accepted on first draw
+    lbl = np.ones((16, 16), np.uint8)
+    rng = random.Random(3)
+    im2, lb2 = A.random_rotate(rng, img, lbl, p=1.0)
+    assert (lb2 == 1).any()  # class-1 retained (acceptance condition)
+    assert set(np.unique(lb2)) <= {1, 255}
+    # label without class 1 anywhere: all 5 draws rejected -> original kept
+    lbl0 = np.zeros((16, 16), np.uint8)
+    im3, lb3 = A.random_rotate(random.Random(3), img, lbl0, p=1.0)
+    np.testing.assert_array_equal(lb3, lbl0)
+    # p=0: untouched
+    im4, lb4 = A.random_rotate(random.Random(0), img, lbl, p=0.0)
+    assert im4 is img and lb4 is lbl
+
+
+def test_val_supp_rotate_wired(data_root):
+    """_get_val_support applies the +-10-degree rotate with retry
+    (reference oem_ft.py:251): the pipeline runs end-to-end and labels stay
+    binarized (ignore borders may appear when a rotation is accepted)."""
+    ds = OEMFtTrainDataset(
+        str(data_root), str(data_root / "list" / "train.txt"), shot=5, seed=123,
+        crop_size=(32, 32), mode="val_supp",
+    )
+    for idx in range(len(ds)):
+        _, labels, _, _ = ds[idx]
+        for lab in labels:
+            assert set(np.unique(lab)) <= {0, 1, 255}

@@ -60,6 +60,19 @@ def test_lsk_pop_parity(rng):
 
 
 @pytest.mark.slow
+def test_vggunet_pop_parity(rng):
+    """vggunet_pop base parity: the reference head runs over a hand-built
+    vgg16_bn encoder (torchvision is absent; reference_harness._vgg16_bn
+    reproduces its features-Sequential indices so vggunet_pop.py:56-60's
+    slicing and state-dict keys are exact)."""
+    nets = import_reference()
+    torch.manual_seed(0)
+    ref = nets.vggunet_pop.GFSS_Model(n_base=7, criterion=None)
+    ours = build_model("vggunet_pop", n_base=7)
+    _parity(ref, ours, 64, rng, arch="vggunet", tol=5e-4)
+
+
+@pytest.mark.slow
 def test_seghr_pop_parity(rng):
     nets = import_reference()
     torch.manual_seed(0)
