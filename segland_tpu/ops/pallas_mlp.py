@@ -61,6 +61,17 @@ def ln_mlp_reference(x, gamma, beta, w1, b1, w2, b2, res=None, ls=None,
     return r + o
 
 
+def _gelu_tanh(x):
+    """tanh-form GELU, used when the compute dtype is bfloat16: its max abs
+    error vs exact GELU is 5.0e-4 (at x~2.63) — 30x BELOW the 1.6e-2 error
+    already introduced by bf16-quantizing the hidden activations — while the
+    erf polynomial (exp + divide on the VPU in fp32) measured as 52% of the
+    whole stage-0 kernel time (5.25 -> 2.72 ms/block, benchmarks/
+    convnext_flagship.py).  fp32 inputs keep the exact polynomial."""
+    c = 0.7978845608028654  # sqrt(2/pi)
+    return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
+
+
 def _gelu_exact_poly(x):
     """Exact (erf-based) GELU with erf from Abramowitz-Stegun 7.1.26
     (max abs error 1.5e-7 — far below bf16 resolution).  Needed because
@@ -101,7 +112,8 @@ def _kernel(eps, has_res, has_ls, refs):
     y = y.astype(cdt)
     h = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32)
     h = h.astype(cdt) + b1_ref[:].astype(cdt)
-    h = _gelu_exact_poly(h.astype(jnp.float32)).astype(cdt)
+    gelu = _gelu_tanh if cdt == jnp.bfloat16 else _gelu_exact_poly
+    h = gelu(h.astype(jnp.float32)).astype(cdt)
     o = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
     o = o.astype(cdt) + b2_ref[:].astype(cdt)
     if has_ls:

@@ -144,6 +144,42 @@ def test_eval_ft_cli(data_root, tmp_path_factory):
     assert os.path.exists(os.path.join(out, "cmatrix_123.npy"))
 
 
+def test_eval_ft_cli_two_seeds(data_root, tmp_path_factory):
+    """Two seeds must resolve to two DIFFERENT checkpoint files
+    (reference eval_ft.py:154: restore_from[:-4]+'_<seed>.pth' per seed):
+    seed 456's ckpt gets zeroed novel prototypes, so its predictions must
+    differ from seed 123's."""
+    import flax.serialization as ser
+    from segland_tpu.cli.eval_ft import main
+
+    ft_snap = getattr(test_ft_pop_cli, "snap", None)
+    assert ft_snap, "ft test must run first"
+    ckpt123 = os.path.join(ft_snap, "best_123.ckpt")
+    if not os.path.exists(ckpt123):
+        pytest.skip("ft produced no best ckpt on this toy task")
+    raw = ser.msgpack_restore(open(ckpt123, "rb").read())
+    raw["params"]["novel_emb"] = np.zeros_like(raw["params"]["novel_emb"])
+    for k in raw["params"]["classifier_n"]:
+        raw["params"]["classifier_n"][k] = 7.0 * raw["params"]["classifier_n"][k]
+    with open(os.path.join(ft_snap, "best_456.ckpt"), "wb") as f:
+        f.write(ser.msgpack_serialize(raw))
+    out = str(tmp_path_factory.mktemp("eval_ft_two_seeds"))
+    results = main(
+        ["--data-dir", str(data_root), "--val-list", str(data_root / "list" / "val.txt"),
+         "--restore-from", os.path.join(ft_snap, "best.ckpt"), "--save-path", out,
+         "--base-size", "64,64", "--eval-batch", "2",
+         "--random-seed", "123,456"] + COMMON
+    )
+    assert set(results) == {123, 456}
+    assert os.path.exists(os.path.join(out, "cmatrix_123.npy"))
+    assert os.path.exists(os.path.join(out, "cmatrix_456.npy"))
+    cm123 = np.load(os.path.join(out, "cmatrix_123.npy"))
+    cm456 = np.load(os.path.join(out, "cmatrix_456.npy"))
+    assert not np.array_equal(cm123, cm456), (
+        "two seeds produced identical confusion matrices - the per-seed "
+        "checkpoint resolution did not load distinct files")
+
+
 def test_eval_base_cli_int8(data_root, tmp_path_factory):
     """--int8 PTQ serving path: runs end-to-end and stays close to fp32 mIoU."""
     from segland_tpu.cli.eval_base import main

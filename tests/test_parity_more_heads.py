@@ -15,6 +15,9 @@ from reference_harness import import_reference
 
 
 def _parity(ref_model, our_model, size, rng, arch=None, tol=1e-3):
+    """Eval-forward parity.  is_ft reference models route through forward_all
+    (reference networks/swin_pop.py:226-233 etc.), ours through __call__'s
+    is_ft branch — so the same call covers both base and ft eval modes."""
     ref_model.eval()
     sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
     converted, unexpected = convert_torch_state_dict(sd, arch=arch)
@@ -30,6 +33,46 @@ def _parity(ref_model, our_model, size, rng, arch=None, tol=1e-3):
     got = our_model.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))), train=False)
     got = np.transpose(np.asarray(got), (0, 3, 1, 2))
     np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+
+
+_FT_CASES = {
+    # model -> (reference ctor kwargs, our backbone, arch, tol)
+    "swin_pop": (dict(backbone="swin-t"), "swin-t", None, 2e-3),
+    "convnext_pop": (dict(backbone="convnext-t"), "convnext-t", "convnext", 5e-4),
+    "lsk_pop": (dict(backbone="lsk-t"), "lsk-t", "lsknet", 5e-4),
+    "seghr_pop": (dict(backbone="hr-w18"), "hr-w18", "hrnet", 5e-4),
+    "vggunet_pop": (dict(), None, "vggunet", 5e-4),
+}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", sorted(_FT_CASES))
+def test_ft_forward_all_parity(name, rng):
+    """ft-mode (is_ft=True, forward_all) parity for every pyramid/unet head:
+    [bg, base, novel] logits with frozen base_emb + trainable novel_emb +
+    cloned classifier_n (reference *_pop.py GFSS_Model is_ft branches)."""
+    kwargs, backbone, arch, tol = _FT_CASES[name]
+    nets = import_reference()
+    torch.manual_seed(0)
+    cls = getattr(nets, name).GFSS_Model
+    if name == "vggunet_pop":
+        # reference defect: vggunet_pop.ft_freeze references self.backbone /
+        # self.decoder which do not exist (its net lives in self.net,
+        # vggunet_pop.py:130-136), so is_ft construction raises
+        # AttributeError as shipped.  Freezing does not affect eval forward
+        # numerics, so substitute the evidently-intended freeze to still
+        # validate forward_all parity.
+        cls = type("GFSS_Model_fixed", (cls,), {
+            "ft_freeze": lambda self: [p.requires_grad_(False)
+                                       for p in list(self.net.parameters())
+                                       + list(self.classifier.parameters())]})
+    ref = cls(n_base=7, criterion=None, is_ft=True, n_novel=4, **kwargs)
+    # make the zero-init frozen base_emb informative for the comparison
+    with torch.no_grad():
+        ref.base_emb.copy_(torch.randn_like(ref.base_emb) * 0.1)
+    ours = build_model(name, backbone=backbone, n_base=7, n_novel=4, is_ft=True)
+    size = 56 if name == "swin_pop" else 64
+    _parity(ref, ours, size, rng, arch=arch, tol=tol)
 
 
 @pytest.mark.slow
