@@ -37,7 +37,7 @@ def _parity(ref_model, our_model, size, rng, arch=None, tol=1e-3):
 
 _FT_CASES = {
     # model -> (reference ctor kwargs, our backbone, arch, tol)
-    "swin_pop": (dict(backbone="swin-t"), "swin-t", None, 2e-3),
+    "swin_pop": (dict(backbone="swin-t"), "swin-t", None, 5e-4),
     "convnext_pop": (dict(backbone="convnext-t"), "convnext-t", "convnext", 5e-4),
     "lsk_pop": (dict(backbone="lsk-t"), "lsk-t", "lsknet", 5e-4),
     "seghr_pop": (dict(backbone="hr-w18"), "hr-w18", "hrnet", 5e-4),

@@ -41,4 +41,6 @@ def test_swin_pop_forward_base_parity(rng):
         want = ref(torch.from_numpy(x)).numpy()
     got = ours.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))), train=False)
     got = np.transpose(np.asarray(got), (0, 3, 1, 2))
-    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+    # measured 8.2e-8 max abs diff on the CPU test platform (fp32 exact);
+    # 5e-4 matches the rest of the zoo and leaves platform headroom
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
