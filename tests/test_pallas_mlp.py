@@ -219,3 +219,31 @@ class TestAttnSection:
             o1 = b1.apply(v0, x)
             np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
                                        rtol=2e-5, atol=2e-5)
+
+
+def test_swin_block_fused_droppath_train_matches_unfused():
+    """Train-mode SwinBlock with stochastic depth: the fused paths recover
+    the residual branch as (out - shortcut) before applying DropPath; with
+    the same dropout rng this must equal the unfused path exactly on the
+    CPU fallback (both branches, attn and MLP)."""
+    import jax
+    from segland_tpu.models.backbones.swin import SwinBlock
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 18, 18, 32), jnp.float32)
+    for shift in (0, 3):
+        b0 = SwinBlock(32, 2, shift_size=shift, drop_path=0.5)
+        b1 = SwinBlock(32, 2, shift_size=shift, drop_path=0.5,
+                       fused_attn=True, fused_mlp=True)
+        v = b0.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(9)},
+                    x, train=True)
+        # same param tree names -> fused variant accepts the same variables?
+        # fused param modules (LNParams/DenseParams/AttnParams) mirror the
+        # unfused names, so v works for both.
+        rngs = {"dropout": jax.random.PRNGKey(3)}
+        y0 = b0.apply(v, x, train=True, rngs=rngs)
+        y1 = b1.apply(v, x, train=True, rngs=rngs)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   rtol=2e-5, atol=2e-5)
+        # stochastic: some samples' branches actually dropped
+        y_eval = b0.apply(v, x, train=False)
+        assert not np.allclose(np.asarray(y0), np.asarray(y_eval))
