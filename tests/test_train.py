@@ -296,3 +296,26 @@ def test_swin_lsk_droppath_wired():
         a, b = fwd(bb, 10, True), fwd(bb, 11, True)
         assert not np.allclose(a, b), type(bb).__name__
         np.testing.assert_array_equal(fwd(bb, 0, False), fwd(bb0, 0, False))
+
+
+def test_swin_fused_train_step_runs():
+    """--fused training path end-to-end: fused_mlp+fused_attn swin_pop with
+    DropPath + dropout rng through make_base_train_step (CPU exact fallback);
+    gradients reach the relative-position bias table (advisor finding)."""
+    model = build_model("swin_pop", backbone="swin-t", n_base=7,
+                        fused_mlp=True, fused_attn=True)
+    img = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+    mask = jnp.full((1, 32, 32), 3, jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(7)},
+        img, train=True)
+    tx = create_optimizer(variables["params"], 1e-4, 10, 2)
+    state = create_train_state(model, variables, tx)
+    step = jax.jit(make_base_train_step(model))
+    p0 = np.asarray(
+        state.params["backbone"]["layers_0_blocks_0"]["attn"]["relative_position_bias_table"])
+    state, ld, gn = step(state, img, mask)
+    assert np.isfinite(float(ld["total_loss"])) and float(gn) > 0
+    p1 = np.asarray(
+        state.params["backbone"]["layers_0_blocks_0"]["attn"]["relative_position_bias_table"])
+    assert not np.allclose(p0, p1), "bias table did not train under --fused"
