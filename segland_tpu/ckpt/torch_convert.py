@@ -275,11 +275,24 @@ for _u in (1, 2, 3, 4):
         _VGG_RULES += _bn_rules(rf"net\.up{_u}\.conv\.double_conv\.{_ti + 1}",
                                 lambda m, u=_u, dc=_dc: ("backbone", f"up{u}_dc{dc}_bn"))
 
+# --- pspplus_pop decoder: decoder.psp.* is the V1 PSPModule (unlike
+# swin_pop's decoder.psp which is v2 — the shared-rule default), plus
+# reduce (conv1x1+bias, bn) and fc (conv3x3+bias, bn, conv1x1+bias).
+# Select via arch="pspplus" (the backbone name alone cannot disambiguate).
+_PSPPLUS_RULES = []
+_PSPPLUS_RULES += _psp_rules(r"decoder\.psp", lambda m: ("decoder", "psp"))
+_PSPPLUS_RULES += _conv_rules(r"decoder\.reduce\.0", lambda m: ("decoder", "reduce_conv"))
+_PSPPLUS_RULES += _bn_rules(r"decoder\.reduce\.1", lambda m: ("decoder", "reduce_bn"))
+_PSPPLUS_RULES += _conv_rules(r"decoder\.fc\.0", lambda m: ("decoder", "fc_conv"))
+_PSPPLUS_RULES += _bn_rules(r"decoder\.fc\.1", lambda m: ("decoder", "fc_bn"))
+_PSPPLUS_RULES += _conv_rules(r"decoder\.fc\.3", lambda m: ("decoder", "fc_out"))
+
 _ARCH_RULES = {
     "hrnet": _HRNET_RULES,
     "convnext": _CONVNEXT_RULES,
     "lsknet": _LSK_RULES,
     "vggunet": _VGG_RULES,
+    "pspplus": _PSPPLUS_RULES,
 }
 
 
@@ -355,7 +368,9 @@ def convert_torch_state_dict(sd: Dict[str, np.ndarray], is_restore: bool = False
         sd = {("backbone." + k): v for k, v in sd.items()}
 
     arch_rules = _ARCH_RULES.get(arch, [])
-    use_resnet_paths = arch is None
+    # pspplus's arch rules only disambiguate its decoder; its backbone is a
+    # plain resnet, so the resnet fallback chain stays active
+    use_resnet_paths = arch in (None, "pspplus")
 
     flat = {}
     unexpected = []

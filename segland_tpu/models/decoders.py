@@ -89,17 +89,23 @@ class PSPModuleV2(nn.Module):
 
 
 class PSPPlusDecoder(nn.Module):
-    """Intended PSP+ structure (see module docstring re reference bug):
-    psp(x4) upsampled align_corners=True to x3 resolution, concat with
-    reduced x3, fused by 3x3 conv+BN+ReLU + 1x1 conv."""
+    """PSP+ decoder (reference networks/pspplus_pop.py:37-54).  The reference
+    forward is broken as shipped (it indexes a non-list tensor,
+    pspplus_pop.py:159), but the decoder weights pin down the intended
+    wiring: ``reduce`` is Conv2d(512, 32) so the low branch is x2 (512 ch),
+    and ``psp`` takes x4 (2048 ch) — i.e. the decoder expects fine->coarse
+    features.  low = reduce(x2); high = psp(x4) upsampled align_corners=True
+    to x2's resolution; cat([low, high]) -> fc (3x3 conv+BN+ReLU + 1x1).
+    Parity validated against the reference with the feature-order bug
+    patched in-test (tests/test_parity_more_heads.py)."""
     out_features: int = 512
     reduced_feature: int = 32
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
-        x4, x3 = feats[0], feats[1]
-        low = nn.Conv(self.reduced_feature, (1, 1), dtype=self.dtype, name="reduce_conv")(x3)
+        x4, x2 = feats[0], feats[1]
+        low = nn.Conv(self.reduced_feature, (1, 1), dtype=self.dtype, name="reduce_conv")(x2)
         low = nn.relu(_bn(train, self.dtype, name="reduce_bn")(low))
         high = PSPModule(self.out_features, dtype=self.dtype, name="psp")(x4, train)
         high = resize_bilinear(high, low.shape[1:3], align_corners=True)

@@ -125,7 +125,8 @@ class GFSSModel(nn.Module):
         if self.backbone_name.startswith("resnet"):
             feats = self.backbone(img, train=train, return_list=self.needs_pyramid)
             if self.decoder_name == "pspplus":
-                feats = feats[:2]  # [x4, x3]
+                # [x4, x2]: reduce is 512-in (see PSPPlusDecoder docstring)
+                feats = [feats[0], feats[2]]
         else:
             feats = self.backbone(img, train=train)
         if self.decoder is None:

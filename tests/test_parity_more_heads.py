@@ -103,6 +103,25 @@ def test_lsk_pop_parity(rng):
 
 
 @pytest.mark.slow
+def test_pspplus_pop_parity(rng):
+    """pspplus_pop base parity.  The reference forward is broken as shipped
+    (forward_base feeds a single tensor to a decoder that indexes a feature
+    LIST, pspplus_pop.py:159+49-51), but the decoder weights pin the intended
+    wiring — reduce is Conv2d(512, 32), so low = x2 and the list must be
+    fine->coarse.  The test patches base_forward to return the reversed
+    return_list (the evident intent); everything downstream is the unmodified
+    reference."""
+    nets = import_reference()
+    torch.manual_seed(0)
+    ref = nets.pspplus_pop.GFSS_Model(
+        n_base=7, criterion=None, backbone="resnet50v2", os=8, dilated=True)
+    orig = ref.backbone.base_forward
+    ref.backbone.base_forward = lambda img, **kw: orig(img, return_list=True)[::-1]
+    ours = build_model("pspplus_pop", backbone="resnet50v2", n_base=7)
+    _parity(ref, ours, 64, rng, arch="pspplus", tol=5e-4)
+
+
+@pytest.mark.slow
 def test_vggunet_pop_parity(rng):
     """vggunet_pop base parity: the reference head runs over a hand-built
     vgg16_bn encoder (torchvision is absent; reference_harness._vgg16_bn
