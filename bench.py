@@ -32,8 +32,8 @@ ALT_BACKBONE = "resnet50"
 TILE = 1024
 BATCH_PER_CHIP = 32             # flat 16->32 on v5e, slightly better at 32
 WARMUP = 2
-ITERS = 30  # the axon tunnel front-loads ~60 ms on a timing loop: 10-iter
-            # loops are inflated ~6 ms/iter (BASELINE.md), 30-iter ~2
+ITERS = 60  # the axon tunnel front-loads ~60 ms on a timing loop: 10-iter
+            # loops are inflated ~6 ms/iter (BASELINE.md), 30-iter ~2, 60 ~1
 
 # serving input protocol: uint8 tiles + on-device normalization, exactly the
 # eval_base --device-normalize path (evallib/infer.py Evaluator._pre) — the

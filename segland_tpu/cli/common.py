@@ -92,6 +92,22 @@ def add_train_args(p: argparse.ArgumentParser):
                    help="restore backbone-only weights (reference train_base.py:198-201)")
     p.add_argument("--fp16", type=str2bool, nargs="?", const=True, default=False,
                    help="accepted for script compat; TPU path uses --dtype bfloat16")
+    p.add_argument("--save-pred-every", type=int, default=None,
+                   help="alias for --snapshot-frequency (the reference parses "
+                        "this flag but hardcodes every-10-epoch snapshots; "
+                        "here it is honored)")
+    p.add_argument("--test-batch-size", type=int, default=1,
+                   help="validation batch size (the reference parses but "
+                        "ignores it; here it is honored)")
+    p.add_argument("--fix-bn", action="store_true", default=False,
+                   help="freeze BatchNorm running statistics during training "
+                        "(the reference parses this flag without ever "
+                        "consuming it; here it stops stat updates — batch "
+                        "normalization itself still uses the current batch)")
+    p.add_argument("--filter-novel", action="store_true", default=False,
+                   help="restrict ft base-support sampling to novel-free "
+                        "tiles (reference oem_ft.py filter_intersection; "
+                        "no-op for the base oem dataset, as upstream)")
     return p
 
 

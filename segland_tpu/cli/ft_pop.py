@@ -52,6 +52,7 @@ def run_seed(args, seed, crop, base_size, logger):
     n_base, n_novel = args.base_classes, args.novel_classes
     trainset = OEMFtTrainDataset(
         args.data_dir, args.train_list, shot=args.shot, seed=seed, crop_size=crop,
+        filter=args.filter_novel,
     )
     valset = OEMValDataset(
         args.data_dir, args.val_list, base_size=base_size, resize_label=True,
@@ -62,7 +63,7 @@ def run_seed(args, seed, crop, base_size, logger):
         process_index=jax.process_index(), process_count=jax.process_count(),
         num_workers=args.num_workers,
     )
-    val_loader = Loader(valset, 1, shuffle=False)
+    val_loader = Loader(valset, args.test_batch_size, shuffle=False)
 
     model = build_model(
         args.model, backbone=args.backbone, n_base=n_base, n_novel=n_novel,

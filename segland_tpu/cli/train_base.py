@@ -60,7 +60,7 @@ def main(argv=None):
         process_index=jax.process_index(), process_count=jax.process_count(),
         num_workers=args.num_workers,
     )
-    val_loader = Loader(valset, 1, shuffle=False)
+    val_loader = Loader(valset, args.test_batch_size, shuffle=False)
 
     n_base = args.base_classes
     model = build_model(
@@ -103,8 +103,10 @@ def main(argv=None):
 
     mesh = make_mesh(math.gcd(jax.device_count(), args.batch_size))
     state = replicate(mesh, state)
+    snap_freq = args.save_pred_every or args.snapshot_frequency
     raw_step = make_base_train_step(model, loss_name, double_step=args.double_step,
-                                    skip_nonfinite=args.skip_nonfinite, seed=seed)
+                                    skip_nonfinite=args.skip_nonfinite, seed=seed,
+                                    fix_bn=args.fix_bn)
     train_step = jax.jit(raw_step, donate_argnums=0)
     # silent variant: identical update, returns only the new state.  Each
     # extra jit output costs ~50 ms of RPC handling over the axon tunnel
@@ -149,7 +151,7 @@ def main(argv=None):
                     ld, lr, gn, f"Epoch{epoch_log}/Iters{global_it} Iter{i+1}/{steps_per_epoch}:"))
 
         state = state.replace(epoch=epoch_log)
-        if jax.process_index() == 0 and (epoch_log % args.snapshot_frequency == 0 or epoch_log >= args.num_epoch):
+        if jax.process_index() == 0 and (epoch_log % snap_freq == 0 or epoch_log >= args.num_epoch):
             save_checkpoint(os.path.join(args.snapshot_dir, f"epoch_{epoch_log}.ckpt"),
                             state, format=args.ckpt_format)
             logger.info("taking snapshot ...")

@@ -25,7 +25,7 @@ class OEMFtTrainDataset:
 
     def __init__(self, root: str, list_path: str, shot: int = 5, seed: int = 123,
                  crop_size=(512, 512), ignore_label: int = 255, mode: str = "train",
-                 use_base: bool = True):
+                 use_base: bool = True, filter: bool = False):
         assert mode in ("train", "val_supp")
         self.root = root
         self.shot = shot
@@ -35,21 +35,26 @@ class OEMFtTrainDataset:
         self.use_base = use_base
         self.rng = _random.Random(seed)
         self.nprng = np.random.RandomState(seed)
+        # --filter-novel (reference oem_ft.py:32-35,276-281): base-support
+        # candidates are restricted to images containing NO novel classes,
+        # and the per-class list cache gets a "_filter" suffix
+        self.filter = bool(filter) and mode == "train"
 
         list_dir = os.path.dirname(list_path)
         self.list_dir = list_dir
-        first = os.path.join(list_dir, f"train_base_class{BASE_CLASSES[0]}.txt")
+        sfx = "_filter" if self.filter else ""
+        first = os.path.join(list_dir, f"train_base_class{BASE_CLASSES[0]}{sfx}.txt")
         if os.path.exists(first):
             self.base_cls_to_ids = defaultdict(list)
             for cls in BASE_CLASSES:
-                with open(os.path.join(list_dir, f"train_base_class{cls}.txt")) as f:
+                with open(os.path.join(list_dir, f"train_base_class{cls}{sfx}.txt")) as f:
                     self.base_cls_to_ids[cls] = f.read().splitlines()
         else:
             with open(list_path) as f:
                 self.ids = f.read().splitlines()
             self.base_cls_to_ids, self.novel_cls_to_ids = self._filter_and_map_ids()
             for cls in BASE_CLASSES:
-                with open(os.path.join(list_dir, f"train_base_class{cls}.txt"), "w") as f:
+                with open(os.path.join(list_dir, f"train_base_class{cls}{sfx}.txt"), "w") as f:
                     f.writelines(i + "\n" for i in self.base_cls_to_ids[cls])
 
         with open(os.path.join(list_dir, f"all_{shot}shot_seed{seed}.txt")) as f:
@@ -72,12 +77,15 @@ class OEMFtTrainDataset:
 
     def _filter_and_map_ids(self):
         """Scan label tiles, map class -> containing image ids
-        (reference oem_ft.py:262-300)."""
+        (reference oem_ft.py:262-300).  With self.filter (--filter-novel),
+        a base class only counts images whose classes are a SUBSET of the
+        base set — i.e. novel-free tiles (oem_ft.py:276-281)."""
         base_map, novel_map = defaultdict(list), defaultdict(list)
         for tid in self.ids:
             classes = self._label_classes(tid)
-            for cls in classes & set(BASE_CLASSES):
-                base_map[cls].append(tid)
+            if not self.filter or classes.issubset(set(BASE_CLASSES)):
+                for cls in classes & set(BASE_CLASSES):
+                    base_map[cls].append(tid)
             for cls in classes & set(NOVEL_CLASSES):
                 novel_map[cls].append(tid)
         return base_map, novel_map

@@ -16,7 +16,8 @@ from ..ops.resize import resize_bilinear
 
 
 def make_base_train_step(model, loss_name: str = "orth", double_step: bool = False,
-                         skip_nonfinite: bool = False, seed: int = 0):
+                         skip_nonfinite: bool = False, seed: int = 0,
+                         fix_bn: bool = False):
     """Returns train_step(state, img [B,H,W,3], mask [B,H,W]) ->
     (state, loss_dict, grad_norm).
 
@@ -59,7 +60,10 @@ def make_base_train_step(model, loss_name: str = "orth", double_step: bool = Fal
         grads, (ld, new_model_state) = jax.grad(loss_fn, has_aux=True)(state.params)
         grad_norm = optax.global_norm(grads)
         new_state = state.apply_gradients(
-            grads=grads, batch_stats=new_model_state["batch_stats"]
+            grads=grads,
+            # --fix-bn: running statistics stay frozen (see cli/common.py)
+            batch_stats=state.batch_stats if fix_bn
+            else new_model_state["batch_stats"],
         )
         if double_step:
             new_state = new_state.apply_gradients(grads=grads)

@@ -292,3 +292,27 @@ def test_val_supp_rotate_wired(data_root):
         _, labels, _, _ = ds[idx]
         for lab in labels:
             assert set(np.unique(lab)) <= {0, 1, 255}
+
+
+def test_ft_filter_novel(data_root):
+    """--filter-novel (reference oem_ft.py:32-35,276-281): base-support
+    candidates restrict to tiles whose classes are a subset of the base set,
+    and the per-class list cache gets a _filter suffix."""
+    ds = OEMFtTrainDataset(
+        str(data_root), str(data_root / "list" / "train.txt"), shot=5, seed=123,
+        crop_size=(32, 32), filter=True,
+    )
+    base = set(range(1, 8))
+    for cls, ids in ds.base_cls_to_ids.items():
+        for tid in ids:
+            assert ds._label_classes(tid).issubset(base), (cls, tid)
+    import os
+    assert os.path.exists(str(data_root / "list" / "train_base_class1_filter.txt"))
+    # unfiltered cache untouched / independent
+    ds0 = OEMFtTrainDataset(
+        str(data_root), str(data_root / "list" / "train.txt"), shot=5, seed=123,
+        crop_size=(32, 32), filter=False,
+    )
+    n_f = sum(len(v) for v in ds.base_cls_to_ids.values())
+    n_0 = sum(len(v) for v in ds0.base_cls_to_ids.values())
+    assert n_f <= n_0

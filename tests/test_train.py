@@ -37,7 +37,9 @@ def test_poly_lr_per_epoch():
     assert float(sched(0)) == pytest.approx(1e-3)
     assert float(sched(64)) == pytest.approx(1e-3)
     want = 1e-3 * (1 - 1 / 200) ** 0.9
-    assert float(sched(65)) == pytest.approx(want, rel=1e-6)
+    # fp32 jnp.power carries ~10 ulp (~1e-6 rel) that varies with XLA
+    # codegen context; 1e-5 rel is far tighter than LR precision matters
+    assert float(sched(65)) == pytest.approx(want, rel=1e-5)
 
 
 def test_param_labels():
