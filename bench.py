@@ -9,11 +9,17 @@ normalized against the per-chip share of the 8-chip target (250 tiles/s/chip).
 
 Flagship: convnext_pop / convnext-t in bf16 with the fused Pallas LN+MLP
 kernel and the commuted FPN-OCR decoder — the fastest family at parity
-(BASELINE.md: 189.6 t/s vs deeplab int8 158, pspnet int8 108, fused swin 76)
+(BASELINE.md: 245 t/s vs deeplab int8 161, pspnet int8 130, fused swin 84)
 AND the accuracy-parity path itself (logits match the torch reference at
 1e-3 with converted weights, tests/test_parity_more_heads.py).  The int8 PTQ
 serving mode for the resnet families (deeplab/pspnet, ~1.45x there) is
 measured as the secondary number in the label.
+
+The measured path IS the serving path: evallib.infer.Evaluator with
+normalize_on_device=True (uint8 tiles + on-device BGR/mean/std, the
+eval_base --device-normalize protocol), want_logits=False (mIoU path), and
+the same shard_map-over-mesh forward the eval CLIs use — no re-implemented
+preprocessing that could drift from the product code.
 """
 
 import json
@@ -35,34 +41,21 @@ WARMUP = 2
 ITERS = 60  # the axon tunnel front-loads ~60 ms on a timing loop: 10-iter
             # loops are inflated ~6 ms/iter (BASELINE.md), 30-iter ~2, 60 ~1
 
-# serving input protocol: uint8 tiles + on-device normalization, exactly the
-# eval_base --device-normalize path (evallib/infer.py Evaluator._pre) — the
-# host->device link carries 3 MB/tile instead of 12 and the fp32 normalize
-# fuses into the first conv's input read
-_MEAN = jnp.asarray((0.485, 0.456, 0.406), jnp.float32)
-_STD = jnp.asarray((0.229, 0.224, 0.225), jnp.float32)
 
-
-def _pre(img_u8):
-    img = img_u8[..., ::-1].astype(jnp.float32) / 255.0
-    return (img - _MEAN) / _STD
-
-
-def measure(forward, variables, img, probe):
-    for _ in range(WARMUP):
-        out = forward(variables, img)
-    int(probe(out))
+def measure(evaluator, staged, probe, warmup=WARMUP):
+    for _ in range(warmup):
+        _, pred = evaluator.predict_batch(staged, (TILE, TILE), want_logits=False)
+    int(probe(pred))
     t0 = time.time()
     for _ in range(ITERS):
-        out = forward(variables, img)
-    int(probe(out))
+        _, pred = evaluator.predict_batch(staged, (TILE, TILE), want_logits=False)
+    int(probe(pred))
     return time.time() - t0
 
 
 def main():
     from segland_tpu.models import build_model
-    from segland_tpu.ops.resize import resize_bilinear
-    from segland_tpu.quant import calibrate, quantized_apply
+    from segland_tpu.evallib.infer import Evaluator
 
     n_chips = jax.device_count()
     batch = BATCH_PER_CHIP * n_chips
@@ -71,16 +64,11 @@ def main():
                              jnp.uint8)
     mesh = None
     if n_chips > 1:
-        from segland_tpu.dist import make_mesh, replicate, shard_batch
+        from segland_tpu.dist import make_mesh, shard_batch
 
         mesh = make_mesh()
         img = shard_batch(mesh, img)
-
-    def post(logits):
-        # eval protocol: upsample logits to tile size, then argmax
-        # (reference eval_base.py:168)
-        logits = resize_bilinear(logits.astype(jnp.float32), (TILE, TILE), align_corners=True)
-        return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+    staged = (img, batch)  # pre-staged device batch (Evaluator._stage contract)
 
     @jax.jit
     def probe(o):
@@ -99,34 +87,18 @@ def main():
             variables = replicate(mesh, variables)
         return model, variables
 
-    def make_fwd(apply_fn):
-        # over a mesh: shard_map on the batch axis, mirroring
-        # evallib.infer.Evaluator._make_fwd — GSPMD treats Pallas kernels as
-        # opaque custom calls and would otherwise all-gather their operands,
-        # which would misreport tiles/s/chip on multichip hosts
-        def fwd(v, x):
-            return post(apply_fn(v, _pre(x), train=False))
-
-        if mesh is not None:
-            from jax.sharding import PartitionSpec as P
-            from jax.experimental.shard_map import shard_map
-
-            fwd = shard_map(fwd, mesh=mesh, in_specs=(P(), P("data")),
-                            out_specs=P("data"), check_rep=False)
-        return jax.jit(fwd)
-
     # flagship: bf16 + fused kernels + commuted decoder (the parity path)
     model, variables = prep(MODEL, BACKBONE, fused_mlp=True)
-    fwd = make_fwd(model.apply)
-    dt = measure(fwd, variables, img, probe)
+    ev = Evaluator(model, variables, mesh=mesh, normalize_on_device=True)
+    dt = measure(ev, staged, probe)
     flagship = batch * ITERS / dt / n_chips
 
-    # secondary: int8 PTQ serving on the resnet family
+    # secondary: int8 PTQ serving on the resnet family (first warmup call
+    # runs the activation-calibration pass; steady state is pure int8)
     alt, alt_vars = prep(ALT_MODEL, ALT_BACKBONE)
-    q_apply = quantized_apply(alt)
-    fwd_int8 = make_fwd(q_apply)
-    v_int8 = calibrate(alt, alt_vars, [jax.jit(_pre)(img)])
-    dt8 = measure(fwd_int8, v_int8, img, probe)
+    ev8 = Evaluator(alt, alt_vars, mesh=mesh, normalize_on_device=True,
+                    int8=True, calib_batches=1)
+    dt8 = measure(ev8, staged, probe, warmup=max(WARMUP, 2))
     alt_tps = batch * ITERS / dt8 / n_chips
 
     print(json.dumps({

@@ -310,6 +310,16 @@ def arch_for_backbone(backbone: str | None) -> str | None:
     return None  # resnet/swin handled by the default rule chain
 
 
+def arch_for(model: str | None, backbone: str | None) -> str | None:
+    """Converter rule set for a (model, backbone) pair.  The backbone alone
+    cannot disambiguate pspplus_pop (its resnet backbone shares rules with
+    pspnet_pop but its decoder.psp is the V1 PSPModule plus reduce/fc heads)
+    — the CLIs must route through this, not arch_for_backbone."""
+    if model is not None and model.startswith("pspplus"):
+        return "pspplus"
+    return arch_for_backbone(backbone)
+
+
 def _resnet_path(key: str):
     """backbone.* torch key -> flax path, for the ResNet family."""
     parts = key.split(".")

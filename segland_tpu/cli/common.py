@@ -64,8 +64,12 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--num-workers", type=int, default=4)  # accepted for script compat
     p.add_argument("--fused", action="store_true",
                    help="Pallas fused LN+MLP and attention-section kernels in "
-                        "transformer backbones (swin/convnext); exact on the "
-                        "XLA fallback, bf16-rounding-level deltas on TPU. "
+                        "transformer backbones (swin/convnext). fp32: exact "
+                        "on the XLA fallback, bf16-MXU-rounding deltas on "
+                        "TPU. bfloat16: uses tanh-GELU (max 5e-4 vs exact "
+                        "erf — 30x below the bf16 noise floor) on every "
+                        "backend, so bf16 fused-vs-unfused is NOT "
+                        "bit-identical by design (see BASELINE.md). "
                         "With --int8 also routes eligible resnet bottlenecks "
                         "through the fused block kernel (requires "
                         "--dtype bfloat16 and a TPU backend; logs a warning "

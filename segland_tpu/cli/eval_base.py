@@ -17,7 +17,7 @@ from ..data import OEMValDataset, Loader
 from ..models import build_model
 from ..evallib import Evaluator
 from ..ckpt import load_params
-from ..ckpt.torch_convert import load_torch_checkpoint, arch_for_backbone
+from ..ckpt.torch_convert import load_torch_checkpoint, arch_for
 from ..data.tileio import OEM_COLORMAP, OEM_COLORMAP_FT
 from ..utils import get_logger
 from ..dist import make_mesh
@@ -69,7 +69,7 @@ def _load_variables(args, model, crop, seed, logger):
             path = seeded
     if path:
         if path.endswith(".pth"):
-            variables, info = load_torch_checkpoint(path, variables, is_restore=True, arch=arch_for_backbone(args.backbone))
+            variables, info = load_torch_checkpoint(path, variables, is_restore=True, arch=arch_for(args.model, args.backbone))
             logger.info(f"restored torch ckpt {path}: {info['loaded']} leaves")
         else:
             variables = load_params(path, variables)

@@ -22,7 +22,7 @@ from ..train.ft import ft_trainable, init_cls_n
 from ..dist import make_mesh, shard_batch, replicate
 from ..ckpt import save_params, load_params
 from ..ckpt.io import graft_base_into_ft
-from ..ckpt.torch_convert import load_torch_checkpoint, arch_for_backbone
+from ..ckpt.torch_convert import load_torch_checkpoint, arch_for
 from ..utils import prep_experiment, format_loss_dict
 
 
@@ -76,7 +76,7 @@ def run_seed(args, seed, crop, base_size, logger):
 
     if args.restore_from:
         if args.restore_from.endswith(".pth"):
-            variables, info = load_torch_checkpoint(args.restore_from, variables, is_restore=True, arch=arch_for_backbone(args.backbone))
+            variables, info = load_torch_checkpoint(args.restore_from, variables, is_restore=True, arch=arch_for(args.model, args.backbone))
             logger.info(f"restored torch base ckpt: {info['loaded']} leaves")
         else:
             base_model = build_model(

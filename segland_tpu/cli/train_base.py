@@ -20,7 +20,7 @@ from ..train import create_optimizer, create_train_state, make_base_train_step
 from ..train.base import make_eval_step
 from ..dist import make_mesh, shard_batch, replicate
 from ..ckpt import save_checkpoint, load_checkpoint, save_params
-from ..ckpt.torch_convert import load_torch_checkpoint, arch_for_backbone
+from ..ckpt.torch_convert import load_torch_checkpoint, arch_for
 from ..utils import prep_experiment, format_loss_dict
 from ..train.state import poly_lr_schedule
 
@@ -80,7 +80,7 @@ def main(argv=None):
             variables, info = load_torch_checkpoint(
                 args.restore_from, jax.tree_util.tree_map(np.asarray, variables),
                 is_restore=not args.finetune, backbone_only=args.finetune,
-                arch=arch_for_backbone(args.backbone),
+                arch=arch_for(args.model, args.backbone),
             )
             logger.info(f"restored torch ckpt: {info['loaded']} leaves, "
                         f"{len(info['missing'])} missing, {len(info['unexpected'])} unexpected")

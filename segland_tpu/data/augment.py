@@ -126,8 +126,11 @@ def random_scale_resize(rng: _random.Random, image, label, ratio_range):
 
 def fixed_resize(image, label=None, base_size=(1024, 1024)):
     """Exact resize to base_size ignoring aspect (base_dataset.py:65-72):
-    linear for image, nearest for label."""
-    dsize = (base_size[1], base_size[0])  # PIL takes (w, h)
+    linear for image, nearest for label.  NB the reference passes
+    (base_size[0], base_size[1]) as cv2's (w, h) here — TRANSPOSED from its
+    own square_resize convention — so a non-square base_size yields a
+    W=base_size[0], H=base_size[1] output; replicated exactly."""
+    dsize = (base_size[0], base_size[1])  # PIL takes (w, h)
     image = _pil_resize(image, dsize, Image.BILINEAR)
     if label is not None:
         label = _pil_resize(label, dsize, Image.NEAREST)

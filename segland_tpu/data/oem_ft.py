@@ -37,27 +37,38 @@ class OEMFtTrainDataset:
         self.nprng = np.random.RandomState(seed)
         # --filter-novel (reference oem_ft.py:32-35,276-281): base-support
         # candidates are restricted to images containing NO novel classes,
-        # and the per-class list cache gets a "_filter" suffix
+        # and the whole list DIRECTORY gets a "_filter" suffix — the
+        # per-class caches AND the all_<shot>shot support list are read from
+        # <list_dir>_filter (upstream expects that dir to be user-prepared;
+        # we additionally create it when writing fresh caches, and fall back
+        # to the unfiltered shot list if the filtered dir lacks one)
         self.filter = bool(filter) and mode == "train"
 
         list_dir = os.path.dirname(list_path)
+        if self.filter:
+            list_dir = list_dir + "_filter"
         self.list_dir = list_dir
-        sfx = "_filter" if self.filter else ""
-        first = os.path.join(list_dir, f"train_base_class{BASE_CLASSES[0]}{sfx}.txt")
+        first = os.path.join(list_dir, f"train_base_class{BASE_CLASSES[0]}.txt")
         if os.path.exists(first):
             self.base_cls_to_ids = defaultdict(list)
             for cls in BASE_CLASSES:
-                with open(os.path.join(list_dir, f"train_base_class{cls}{sfx}.txt")) as f:
+                with open(os.path.join(list_dir, f"train_base_class{cls}.txt")) as f:
                     self.base_cls_to_ids[cls] = f.read().splitlines()
         else:
             with open(list_path) as f:
                 self.ids = f.read().splitlines()
             self.base_cls_to_ids, self.novel_cls_to_ids = self._filter_and_map_ids()
+            os.makedirs(list_dir, exist_ok=True)
             for cls in BASE_CLASSES:
-                with open(os.path.join(list_dir, f"train_base_class{cls}{sfx}.txt"), "w") as f:
+                with open(os.path.join(list_dir, f"train_base_class{cls}.txt"), "w") as f:
                     f.writelines(i + "\n" for i in self.base_cls_to_ids[cls])
 
-        with open(os.path.join(list_dir, f"all_{shot}shot_seed{seed}.txt")) as f:
+        shot_list = os.path.join(list_dir, f"all_{shot}shot_seed{seed}.txt")
+        if self.filter and not os.path.exists(shot_list):
+            shot_list = os.path.join(os.path.dirname(list_path),
+                                     f"all_{shot}shot_seed{seed}.txt")
+
+        with open(shot_list) as f:
             self.novel_id_list = f.read().splitlines()
         if use_base:
             self.base_id_list = self._sample_base_list()

@@ -22,7 +22,8 @@ def drop_path_rates(drop_path_rate: float, depths) -> list:
     per-block rates 0 -> drop_path_rate over the total network depth."""
     total = sum(depths)
     if total <= 1:
-        return [drop_path_rate] * total
+        # torch.linspace(0, rate, 1) == [0.0]
+        return [0.0] * total
     return [drop_path_rate * i / (total - 1) for i in range(total)]
 
 

@@ -92,3 +92,16 @@ def test_strip_module_prefix():
     sd = {"module.backbone.conv1.weight": np.zeros(1), "plain": np.ones(1)}
     out = strip_module_prefix(sd)
     assert set(out) == {"backbone.conv1.weight", "plain"}
+
+
+def test_arch_for_model_routing():
+    """pspplus_pop's decoder rules are selected by MODEL name — the backbone
+    alone cannot disambiguate it from pspnet_pop (both resnet).  This is the
+    routing the CLIs use (cli/train_base.py, ft_pop.py, eval_base.py)."""
+    from segland_tpu.ckpt.torch_convert import arch_for
+
+    assert arch_for("pspplus_pop", "resnet50v2") == "pspplus"
+    assert arch_for("pspnet_pop", "resnet50") is None
+    assert arch_for("swin_pop", "swin-s") is None
+    assert arch_for("convnext_pop", "convnext-t") == "convnext"
+    assert arch_for(None, "hr-w32") == "hrnet"

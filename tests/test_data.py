@@ -224,7 +224,10 @@ def test_fixed_and_square_resize():
     img = np.arange(20 * 10 * 3, dtype=np.uint8).reshape(20, 10, 3)
     lbl = (np.arange(20 * 10, dtype=np.uint8) % 5).reshape(20, 10)
     im2, lb2 = A.fixed_resize(img, lbl, base_size=(8, 6))
-    assert im2.shape == (8, 6, 3) and lb2.shape == (8, 6)
+    # the reference passes (base_size[0], base_size[1]) as cv2's (w, h)
+    # (base_dataset.py:66-68) — transposed from its own square_resize —
+    # so base_size=(8, 6) yields W=8, H=6
+    assert im2.shape == (6, 8, 3) and lb2.shape == (6, 8)
     assert set(np.unique(lb2)) <= set(np.unique(lbl))  # nearest: no new ids
 
     im3, lb3 = A.square_resize(random.Random(0), img, lbl, base_size=(8, 8))
@@ -297,7 +300,9 @@ def test_val_supp_rotate_wired(data_root):
 def test_ft_filter_novel(data_root):
     """--filter-novel (reference oem_ft.py:32-35,276-281): base-support
     candidates restrict to tiles whose classes are a subset of the base set,
-    and the per-class list cache gets a _filter suffix."""
+    and the whole list DIRECTORY gets a _filter suffix (per-class caches
+    live there; the shot list is read from there too, falling back to the
+    unfiltered dir when absent)."""
     ds = OEMFtTrainDataset(
         str(data_root), str(data_root / "list" / "train.txt"), shot=5, seed=123,
         crop_size=(32, 32), filter=True,
@@ -307,7 +312,7 @@ def test_ft_filter_novel(data_root):
         for tid in ids:
             assert ds._label_classes(tid).issubset(base), (cls, tid)
     import os
-    assert os.path.exists(str(data_root / "list" / "train_base_class1_filter.txt"))
+    assert os.path.exists(str(data_root / "list_filter" / "train_base_class1.txt"))
     # unfiltered cache untouched / independent
     ds0 = OEMFtTrainDataset(
         str(data_root), str(data_root / "list" / "train.txt"), shot=5, seed=123,

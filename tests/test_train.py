@@ -257,6 +257,8 @@ def test_droppath_eval_identity_and_train_stochastic():
     assert len(rates) == 12 and rates[0] == 0.0 and rates[-1] == pytest.approx(0.2)
     # linspace decay rule (reference lsknet.py:134)
     assert rates[6] == pytest.approx(0.2 * 6 / 11)
+    # depth-1 edge: torch.linspace(0, rate, 1) == [0.0], not [rate]
+    assert drop_path_rates(0.2, (1,)) == [0.0]
 
     dp = DropPath(0.5)
     x = jnp.ones((512, 4))
