@@ -25,7 +25,8 @@ class Evaluator:
                  ignore_label: int = 255, mesh=None,
                  normalize_on_device: bool = False,
                  mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
-                 int8: bool = False, calib_batches: int = 4, quant_cfg=None):
+                 int8: bool = False, calib_batches: int = 4, quant_cfg=None,
+                 fused_epilogue: Optional[bool] = None):
         self.model = model
         self.variables = variables
         self.num_classes = num_classes
@@ -44,6 +45,12 @@ class Evaluator:
         # every prediction uses the int8 conv/dense path (~1.5x on v5e MXU).
         # A "quant" collection already present in `variables` (pre-calibrated
         # via segland_tpu.quant.calibrate) skips the warm-up entirely.
+        # fused upsample+argmax epilogue (ops/fused_epilogue.py): Mosaic-only,
+        # so default to the TPU backend; pass True to force (tests use the
+        # interpret path separately) or False to disable
+        if fused_epilogue is None:
+            fused_epilogue = jax.default_backend() == "tpu"
+        self._fused_epilogue = fused_epilogue
         self.int8 = int8
         if "quant" in variables:
             self.variables = {k: v for k, v in variables.items() if k != "quant"}
@@ -92,6 +99,25 @@ class Evaluator:
         return img
 
     def _postprocess(self, logits, out_h, out_w, want_logits=True):
+        if not want_logits and self._fused_epilogue:
+            from ..ops.fused_epilogue import upsample_argmax, upsample_argmax_supported
+
+            shard_shape = list(logits.shape)
+            if self.mesh is not None:
+                shard_shape[0] //= self.mesh.devices.size
+            if upsample_argmax_supported(shard_shape, (out_h, out_w)):
+                # one fused Pallas pass: the upsampled fp32 logits never
+                # exist, and the resize matmuls run 4 split-bf16 passes
+                # instead of HIGHEST's 6 (see ops/fused_epilogue.py; measured
+                # 6.76 -> ~2.5 ms/batch at flagship shapes)
+                post = lambda l: upsample_argmax(l, (out_h, out_w))
+                if self.mesh is not None:
+                    from jax.sharding import PartitionSpec as P
+                    from jax.experimental.shard_map import shard_map
+
+                    post = shard_map(post, mesh=self.mesh, in_specs=P("data"),
+                                     out_specs=P("data"), check_rep=False)
+                return None, post(logits)
         logits = resize_bilinear(logits.astype(jnp.float32), (out_h, out_w), align_corners=True)
         pred = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
         # the upsampled fp32 logits are huge (batch 16 @ 1024^2 x 8 classes =
