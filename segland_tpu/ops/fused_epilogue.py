@@ -19,23 +19,23 @@ pass that never materializes the upsampled logits:
       x = x_hi + x_lo, W = W_hi + W_lo (all bf16), four 1-pass dots summed
       in the fp32 accumulator.  Residual error ~2^-25 relative -- below
       fp32 rounding of the reference product.
-  stage B (rows, VPU):     H expands by an integer factor f with
-      align_corners=True, where floor(r*(h-1)/(fh-1)) provably lags r//f by
-      d in {0, 1} (the gap r/f - r(h-1)/(fh-1) = r(f-1)/(f(fh-1)) < 1).  So
-      the source gather is three STATIC-offset slices of the block expanded
-      with jnp.repeat (no dynamic gathers, which Mosaic lacks on sublanes),
-      selected by a precomputed drift mask, then the exact fp32 lerp
-      x_lo*(1-w) + x_hi*w -- the same formula as ops/resize.py.
+  stage B (rows, MXU):     the H-axis interp matmul against per-block row
+      matrices in LOCAL source coordinates (each output block consumes a
+      halo'd slice of source rows, so its matrix is only (block, slice)
+      wide), with the same 2x2 Dekker split.  A VPU formulation (jnp.repeat
+      + drift-mask selects + exact lerp) was measured first and REVERTED:
+      Mosaic lowers sublane element-repeat at ~1.3 ms per (256,1024) use
+      (3 repeats = 4 ms/batch) while the split matmuls run the identical
+      map in ~0.9 ms total -- see benchmarks/fused_epilogue_bench.py.
   argmax: running (best, idx) update per class channel in VMEM; only the
       uint8 class map is ever written to HBM.
 
-Numerics vs the XLA path: stage B is exact fp32; stage A differs from the
-Precision.HIGHEST einsum only in fp32 rounding order (~1e-6 absolute at
+Numerics vs the XLA path: both stages differ from the Precision.HIGHEST
+einsum only by the Dekker residual (~2^-18 relative, ~1e-4 absolute at
 logit scale ~30), which can flip the argmax only where the top-2 classes
-are within ~1e-6 -- i.e. on exact decision boundaries that bf16 model
-compute already renders arbitrary (measured: ~2e-6 of pixels, all with
-top-2 gap < 1e-3).  The CPU/XLA fallback path in evallib/infer.py is
-unchanged.
+are closer than that -- decision-boundary pixels that bf16 model compute
+already renders arbitrary (measured: ~2e-6 of pixels, all with top-2 gap
+< 1e-3).  The CPU/XLA fallback path in evallib/infer.py is unchanged.
 """
 
 import functools
@@ -45,6 +45,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .resize import _interp_matrix, _linear_table
 
@@ -68,46 +69,49 @@ def _supported(b, h, w, k, oh, ow):
     return True
 
 
-def _kernel(l_ref, wc_hi_ref, wc_lo_ref, wrow_ref, dmask_ref, out_ref,
-            *, K, h, w, oh, ow, fr):
-    """grid (B,).  l_ref (1,K,h+2*_HALO,w) f32 row-padded; wc_* (w,ow) bf16;
-    wrow/dmask (oh,1) f32; out_ref (1,oh,ow) uint8."""
+def _kernel(l_ref, wc_ref, wr_ref, out_ref, mid_ref, *, K, h, w, oh, ow, fr):
+    """grid (B,).  l_ref (1,K,h+2*_HALO,w) f32 row-padded;
+    wc_ref (4w, ow) bf16 = [wc_hi;wc_hi;wc_lo;wc_lo];
+    wr_ref (oh, 4*(src+2*_HALO)) bf16 = [wr_hi|wr_lo|wr_hi|wr_lo] in local
+    source coordinates; out_ref (1,oh,ow) uint8."""
     J = oh // _RB
     src = _RB // fr      # source rows consumed per output block
-    off = _HALO          # s_ext[off + q] = L[j*src + q]
+    halo2 = 2 * _HALO
+
+    rows = src + halo2
 
     def j_body(j, _):
+        # (_RB, 2*(src+halo2)) bf16: [wr_hi | wr_lo] pre-stacked host-side
+        wrj = wr_ref[pl.ds(j * _RB, _RB), :]
+
+        # ---- stage A: W-axis interp matmul for ALL K channels at once --
+        # source rows [j*src - _HALO, j*src + src + _HALO) of the UNPADDED
+        # input == rows [j*src, j*src + rows) of the padded ref (8-aligned
+        # dynamic start); the (K, rows, w) slab collapses to (K*rows, w)
+        # (sublane-aligned since rows % 8 == 0).  The 2x2 Dekker split runs
+        # as ONE dot: [a_hi|a_lo|a_hi|a_lo] @ [wc_hi;wc_hi;wc_lo;wc_lo],
+        # the contracting-dim concat summing all four single-pass products
+        # in the fp32 accumulator.
+        slab = l_ref[0, :, pl.ds(j * src, rows), :].reshape(K * rows, w)
+        slab = slab.astype(jnp.float32)
+        a_hi = slab.astype(jnp.bfloat16)
+        a_lo = (slab - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        a4 = jnp.concatenate([a_hi, a_lo, a_hi, a_lo], axis=1)  # (K*rows, 4w)
+        mid_ref[...] = jnp.dot(a4, wc_ref[...], preferred_element_type=jnp.float32)
+
         def k_body(k, carry):
             best, idx = carry
-            # source rows [j*src - _HALO, j*src + src + _HALO) of the
-            # UNPADDED input == rows [j*src, j*src + src + 2*_HALO) of the
-            # padded ref; 8-aligned dynamic start
-            s_ext = l_ref[0, k, pl.ds(j * src, src + 2 * _HALO), :]
-            s_ext = s_ext.astype(jnp.float32)
-
-            # ---- stage A: W-axis interp matmul, 2x2 bf16 Dekker split --
-            a_hi = s_ext.astype(jnp.bfloat16)
-            a_lo = (s_ext - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            mid = (
-                jnp.dot(a_hi, wc_hi_ref[...], preferred_element_type=jnp.float32)
-                + jnp.dot(a_lo, wc_hi_ref[...], preferred_element_type=jnp.float32)
-                + jnp.dot(a_hi, wc_lo_ref[...], preferred_element_type=jnp.float32)
-                + jnp.dot(a_lo, wc_lo_ref[...], preferred_element_type=jnp.float32)
-            )  # (src + 2*_HALO, ow) f32
-
-            # ---- stage B: H-axis lerp via static slices + repeats ------
-            # a0[t] = mid[off + t//fr], am/ap its -1/+1 row neighbours;
-            # drift mask picks (am, a0) when d=1 else (a0, ap).  Dummy rows
-            # (from the pre-pad) are only ever multiplied by weight 0 or
-            # discarded by the mask -- they just have to be finite.
-            a0 = jnp.repeat(mid[off:off + src], fr, axis=0)
-            am = jnp.repeat(mid[off - 1:off + src - 1], fr, axis=0)
-            ap = jnp.repeat(mid[off + 1:off + src + 1], fr, axis=0)
-            dm = dmask_ref[pl.ds(j * _RB, _RB), :]
-            wr = wrow_ref[pl.ds(j * _RB, _RB), :]
-            g0 = jnp.where(dm > 0, am, a0)
-            g1 = jnp.where(dm > 0, a0, ap)
-            cur = g0 * (1.0 - wr) + g1 * wr     # exact fp32 lerp
+            # ---- stage B: H-axis interp matmul, same split as one dot --
+            # wr rows carry the two lerp weights at LOCAL source columns
+            # (zeros elsewhere add exactly); pre-pad dummy rows only ever
+            # meet zero weights
+            m = mid_ref[pl.ds(k * rows, rows), :]
+            m_hi = m.astype(jnp.bfloat16)
+            m_lo = (m - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            # [wr_hi|wr_lo|wr_hi|wr_lo] @ [m_hi;m_hi;m_lo;m_lo]: all four
+            # split products in one dot
+            m4 = jnp.concatenate([m_hi, m_hi, m_lo, m_lo], axis=0)
+            cur = jnp.dot(wrj, m4, preferred_element_type=jnp.float32)
 
             upd = cur > best
             best = jnp.where(upd, cur, best)
@@ -141,14 +145,26 @@ def upsample_argmax(logits, out_hw, interpret: bool = None):
     fr = oh // h
 
     wc = _interp_matrix(w, ow, align_corners=True).T  # (w, ow) fp32
-    wc_hi = wc.astype(jnp.bfloat16)
-    wc_lo = (wc - np.asarray(wc_hi, np.float32)).astype(jnp.bfloat16)
+    wc_hi = np.asarray(wc.astype(jnp.bfloat16))
+    wc_lo = (wc - wc_hi.astype(np.float32)).astype(jnp.bfloat16)
+    wc4 = np.concatenate([wc_hi, wc_hi,
+                          np.asarray(wc_lo), np.asarray(wc_lo)], axis=0)
 
-    lo, _hi, w_hi = _linear_table(h, oh, align_corners=True)
-    drift = (np.arange(oh) // fr) - lo
-    assert drift.min() >= 0 and drift.max() <= 1, drift
-    wrow = w_hi.reshape(oh, 1).astype(np.float32)
-    dmask = drift.reshape(oh, 1).astype(np.float32)
+    # per-block row-interp matrices in LOCAL source coordinates: output row
+    # r of block j = r // _RB reads padded source rows [j*src, j*src+src+16),
+    # i.e. unpadded rows [j*src - _HALO, ...); its two lerp weights land at
+    # local columns lo[r] - j*src + _HALO and hi[r] - j*src + _HALO
+    src = _RB // fr
+    lo, hi, w_hi = _linear_table(h, oh, align_corners=True)
+    rows = np.arange(oh)
+    block0 = (rows // _RB) * src - _HALO
+    wr = np.zeros((oh, src + 2 * _HALO), np.float32)
+    np.add.at(wr, (rows, lo - block0), 1.0 - w_hi)
+    np.add.at(wr, (rows, hi - block0), w_hi)
+    wr_hi = np.asarray(wr.astype(jnp.bfloat16))
+    wr_lo = (wr - wr_hi.astype(np.float32)).astype(jnp.bfloat16)
+    wr4 = np.concatenate([wr_hi, np.asarray(wr_lo),
+                          wr_hi, np.asarray(wr_lo)], axis=1)
 
     lt = jnp.transpose(logits.astype(jnp.float32), (0, 3, 1, 2))  # (B,K,h,w)
     # row pre-pad with finite dummies so every in-kernel slice is uniform
@@ -160,16 +176,14 @@ def upsample_argmax(logits, out_hw, interpret: bool = None):
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, k, h + 2 * _HALO, w), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((w, ow), lambda i: (0, 0)),
-            pl.BlockSpec((w, ow), lambda i: (0, 0)),
-            pl.BlockSpec((oh, 1), lambda i: (0, 0)),
-            pl.BlockSpec((oh, 1), lambda i: (0, 0)),
+            pl.BlockSpec((4 * w, ow), lambda i: (0, 0)),
+            pl.BlockSpec((oh, 4 * (src + 2 * _HALO)), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, oh, ow), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, oh, ow), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((k * (src + 2 * _HALO), ow), jnp.float32)],
         interpret=interpret,
-    )(lt, jnp.asarray(wc_hi), jnp.asarray(wc_lo), jnp.asarray(wrow),
-      jnp.asarray(dmask))
+    )(lt, jnp.asarray(wc4, jnp.bfloat16), jnp.asarray(wr4, jnp.bfloat16))
 
 
 def upsample_argmax_supported(shape, out_hw) -> bool:
