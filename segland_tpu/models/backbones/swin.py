@@ -288,6 +288,11 @@ class SwinTransformer(nn.Module):
     use_pallas: bool = False
     fused_mlp: bool = False
     fused_attn: bool = False
+    # Stages where fused_attn engages (None = all).  Early stages have many
+    # tiny windows whose per-window matmuls under-fill the MXU; per-stage
+    # gating lets the measured winner run at each resolution.  Param trees
+    # are identical either way, so this is a pure dispatch decision.
+    fused_attn_stages: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -307,13 +312,15 @@ class SwinTransformer(nn.Module):
         cur = 0
         for i, depth in enumerate(self.depths):
             dim = int(self.embed_dim * 2 ** i)
+            fa = self.fused_attn and (self.fused_attn_stages is None
+                                      or i in self.fused_attn_stages)
             for j in range(depth):
                 x = SwinBlock(
                     dim, self.num_heads[i], self.window_size,
                     shift_size=0 if j % 2 == 0 else self.window_size // 2,
                     drop_path=dpr[cur + j],
                     use_pallas=self.use_pallas, fused_mlp=self.fused_mlp,
-                    fused_attn=self.fused_attn,
+                    fused_attn=fa,
                     dtype=self.dtype, name=f"layers_{i}_blocks_{j}",
                 )(x, train=train)
             cur += depth
@@ -325,7 +332,9 @@ class SwinTransformer(nn.Module):
 
 
 def get_swin(name: str, dtype=jnp.float32, use_pallas: bool = False,
-             fused_mlp: bool = False, fused_attn: bool = False) -> SwinTransformer:
+             fused_mlp: bool = False, fused_attn: bool = False,
+             fused_attn_stages=None) -> SwinTransformer:
     cfg = _CONFIGS[name]
     return SwinTransformer(dtype=dtype, use_pallas=use_pallas, fused_mlp=fused_mlp,
-                           fused_attn=fused_attn, **cfg)
+                           fused_attn=fused_attn,
+                           fused_attn_stages=fused_attn_stages, **cfg)

@@ -247,3 +247,30 @@ def test_swin_block_fused_droppath_train_matches_unfused():
         # stochastic: some samples' branches actually dropped
         y_eval = b0.apply(v, x, train=False)
         assert not np.allclose(np.asarray(y0), np.asarray(y_eval))
+
+
+def test_swin_fused_attn_stage_gating_is_pure_dispatch():
+    """fused_attn_stages gates WHERE the fused attention kernel runs, never
+    WHAT is computed: the param tree is identical across gatings and (on the
+    CPU XLA fallback, which is exact) so are the pyramid outputs."""
+    from segland_tpu.models.backbones.swin import SwinTransformer
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 28, 28, 3), jnp.float32)
+    variants = [
+        SwinTransformer(depths=(1, 1), num_heads=(2, 4), embed_dim=32,
+                        fused_attn=False),
+        SwinTransformer(depths=(1, 1), num_heads=(2, 4), embed_dim=32,
+                        fused_attn=True, fused_attn_stages=None),
+        SwinTransformer(depths=(1, 1), num_heads=(2, 4), embed_dim=32,
+                        fused_attn=True, fused_attn_stages=(1,)),
+    ]
+    v = variants[0].init(jax.random.PRNGKey(0), x)
+    ref = variants[0].apply(v, x)
+    for m in variants[1:]:
+        v2 = m.init(jax.random.PRNGKey(0), x)
+        assert (jax.tree_util.tree_structure(v)
+                == jax.tree_util.tree_structure(v2))
+        outs = m.apply(v, x)
+        for o, r in zip(outs, ref):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                       rtol=2e-5, atol=2e-5)
