@@ -333,8 +333,15 @@ class SwinTransformer(nn.Module):
 
 def get_swin(name: str, dtype=jnp.float32, use_pallas: bool = False,
              fused_mlp: bool = False, fused_attn: bool = False,
-             fused_attn_stages=None) -> SwinTransformer:
+             fused_attn_stages="auto") -> SwinTransformer:
     cfg = _CONFIGS[name]
+    if fused_attn_stages == "auto":
+        # measured per-stage ablation at 1024^2 b8 (benchmarks/
+        # swin_stage_variants.py): fused attention wins 1.55x/1.7x/1.53x at
+        # stages 0-2 but LOSES at stage 3 (6.97 vs 5.93 ms/2 blocks) — its
+        # 32^2 maps make one 16-window grid step that can't hide the fp32
+        # attention scratch behind the matmuls.
+        fused_attn_stages = (0, 1, 2)
     return SwinTransformer(dtype=dtype, use_pallas=use_pallas, fused_mlp=fused_mlp,
                            fused_attn=fused_attn,
                            fused_attn_stages=fused_attn_stages, **cfg)
