@@ -38,7 +38,7 @@ def get_backbone(name: str, dtype=jnp.float32, fused_mlp: bool = False,
     if name == "lsk-t":
         from . import lsknet
 
-        return lsknet.lsknet_tiny(dtype=dtype)
+        return lsknet.lsknet_tiny(dtype=dtype, **kw)
     if name == "vgg16bn-unet":
         from . import vggunet
 

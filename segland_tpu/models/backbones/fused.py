@@ -50,3 +50,21 @@ class DenseParams(nn.Module):
                        (self.in_features, self.features)),
             self.param("bias", nn.initializers.zeros, (self.features,)),
         )
+
+
+class ConvParams(nn.Module):
+    """Same param tree as nn.Conv(features, kernel_size, name=...):
+    {kernel: (kh, kw, in_features // groups, features), bias}.  Used where a
+    path (fused kernel or packed-lane reformulation) consumes raw weights."""
+    kernel_size: tuple
+    in_per_group: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kh, kw = self.kernel_size
+        return (
+            self.param("kernel", nn.initializers.lecun_normal(),
+                       (kh, kw, self.in_per_group, self.features)),
+            self.param("bias", nn.initializers.zeros, (self.features,)),
+        )
