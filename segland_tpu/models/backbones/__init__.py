@@ -30,7 +30,7 @@ def get_backbone(name: str, dtype=jnp.float32, fused_mlp: bool = False,
     if name in ("hr-w18", "hr-w32", "hr-w48"):
         from . import hrnet
 
-        return hrnet.get_hrnet(name, dtype=dtype)
+        return hrnet.get_hrnet(name, dtype=dtype, **kw)
     if name == "convnext-t":
         from . import convnext
 

@@ -9,6 +9,7 @@ defaults), so the parameter tree, converted reference checkpoints
 between the fused and unfused paths.
 """
 
+import jax.numpy as jnp
 import flax.linen as nn
 
 
@@ -59,12 +60,30 @@ class ConvParams(nn.Module):
     kernel_size: tuple
     in_per_group: int
     features: int
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self):
         kh, kw = self.kernel_size
-        return (
-            self.param("kernel", nn.initializers.lecun_normal(),
-                       (kh, kw, self.in_per_group, self.features)),
-            self.param("bias", nn.initializers.zeros, (self.features,)),
-        )
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, self.in_per_group, self.features))
+        if not self.use_bias:
+            return kernel, None
+        return kernel, self.param("bias", nn.initializers.zeros, (self.features,))
+
+
+class BNParams(nn.Module):
+    """Same variable tree as nn.BatchNorm(name=...): params {scale, bias} +
+    batch_stats {mean, var} (fp32).  Lets an eval-only reformulation fold the
+    normalization into a per-channel affine without touching the tree."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.features,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.features,), jnp.float32))
+        return scale, bias, mean.value, var.value

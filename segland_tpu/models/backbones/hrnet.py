@@ -14,7 +14,9 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ...ops import packed as pk
 from ...ops.resize import resize_bilinear
+from .fused import BNParams, ConvParams
 
 _FILTERS = {
     "hr-w18": (18, 36, 72, 144),
@@ -26,10 +28,11 @@ _FILTERS = {
 class _Ops:
     """Name-scoped conv/bn helpers bound to a parent @nn.compact module."""
 
-    def __init__(self, parent, train, dtype):
+    def __init__(self, parent, train, dtype, packed=False):
         self.p = parent
         self.train = train
         self.dtype = dtype
+        self.packed = packed
 
     def conv(self, x, feats, k, s, name, dilation=1):
         pad = dilation * (k // 2)
@@ -71,6 +74,38 @@ def _bottleneck(ops, x, planes, name, stride=1, has_down=False):
     return nn.relu(out + residual)
 
 
+def _packed_cb(ops, xp, ch, name, k, relu):
+    """conv3x3 + eval-folded BN (+relu) on W-packed activations; identical
+    variable tree to ops.cb/cbr (ConvParams/BNParams mirror nn.Conv/
+    nn.BatchNorm names)."""
+    w, _ = ConvParams((3, 3), ch, ch, use_bias=False,
+                      name=f"{name}_conv", parent=ops.p)()
+    scale, bias, mean, var = BNParams(ch, name=f"{name}_bn", parent=ops.p)()
+    y = pk.conv_packed(xp, w.astype(ops.dtype), None, 1, k)
+    s = scale / jnp.sqrt(var + 1e-5)
+    y = y * jnp.tile(s, k).astype(y.dtype) \
+        + jnp.tile(bias - mean * s, k).astype(y.dtype)
+    return nn.relu(y) if relu else y
+
+
+def _packed_branch(ops, x, ch, names, k):
+    """Eval-only: a chain of BasicBlocks entirely in the W-packed layout.
+
+    The win is NOT the convs (a bare 3x3 32->32 conv measures 0.19 ms at
+    branch0 shapes) but the elementwise epilogues: BN-affine/relu/residual
+    at C=32 run at 25% lane occupancy and cost 6x the conv
+    (benchmarks/hrnet_branch_probe.py).  Packed, every elementwise op runs
+    at full lane density; the convs become block-banded dense MXU convs
+    (exact in fp32: injected off-block weights are hard zeros)."""
+    xp = pk.pack(x.astype(ops.dtype), k)
+    for nm in names:
+        res = xp
+        h = _packed_cb(ops, xp, ch, f"{nm}_c1", k, relu=True)
+        h = _packed_cb(ops, h, ch, f"{nm}_c2", k, relu=False)
+        xp = nn.relu(h + res)
+    return pk.unpack(xp, k)
+
+
 def _hr_module(ops, xs, channels: Sequence[int], name: str):
     """One HighResolutionModule: 4 BasicBlocks per branch + SUM fuse lattice
     (reference hrnet.py:124-271)."""
@@ -78,6 +113,16 @@ def _hr_module(ops, xs, channels: Sequence[int], name: str):
     ys = []
     for b in range(n):
         x = xs[b]
+        # min_k=2: unlike the LSK depthwise case, even half-full lanes win
+        # for dense 3x3 chains (branch1 0.65 -> 0.10 ms/module measured) —
+        # the band kernel only inflates dense FLOPs by kw_p*k/kh = 2x
+        kp = (pk.pack_k(channels[b], min_k=2)
+              if ops.packed and not ops.train else 1)
+        if kp > 1 and x.shape[2] % kp == 0 and x.shape[-1] == channels[b]:
+            ys.append(_packed_branch(
+                ops, x, channels[b],
+                [f"{name}_branches_{b}_{k}" for k in range(4)], kp))
+            continue
         for k in range(4):
             has_down = k == 0 and x.shape[-1] != channels[b]
             x = _basic_block(ops, x, channels[b], f"{name}_branches_{b}_{k}", has_down=has_down)
@@ -108,11 +153,12 @@ def _hr_module(ops, xs, channels: Sequence[int], name: str):
 
 class HighResolutionNet(nn.Module):
     filters: Sequence[int] = (32, 64, 128, 256)
+    packed: bool = True  # eval-only W-packed branch chains (see _packed_branch)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        ops = _Ops(self, train, self.dtype)
+        ops = _Ops(self, train, self.dtype, packed=self.packed)
         f = list(self.filters)
 
         # stem: two stride-2 3x3 convs (hrnet.py:296-303)
@@ -141,5 +187,5 @@ class HighResolutionNet(nn.Module):
         return xs  # fine->coarse, 4 branches
 
 
-def get_hrnet(name: str, dtype=jnp.float32) -> HighResolutionNet:
-    return HighResolutionNet(filters=_FILTERS[name], dtype=dtype)
+def get_hrnet(name: str, dtype=jnp.float32, packed: bool = True) -> HighResolutionNet:
+    return HighResolutionNet(filters=_FILTERS[name], packed=packed, dtype=dtype)

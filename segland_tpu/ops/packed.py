@@ -113,6 +113,40 @@ def dw_band_weights(w: jnp.ndarray, dil: int, k: int):
     return wk.reshape(kh, kw_p, k * c, k * c), pads
 
 
+def dense_band_weights(w: jnp.ndarray, dil: int, k: int):
+    """Dense conv kernel (kh, kh, Ci, Co) -> W-packed band kernel
+    (kh, kw_p, k*Ci, k*Co) + (pad_lo, pad_hi) in packed columns.
+
+    Same placement as the depthwise case, but each (tap, slot) routes a full
+    Ci x Co block.  FLOPs inflate by ~kw_p*k/kh; worth it only when the
+    surrounding elementwise chain (not the conv) is the lane-padded cost —
+    measured on HRNet branch0: the bare 3x3 32->32 conv is 0.19 ms while
+    conv+affine+relu is 1.27 ms (the epilogue at 25% lane occupancy is 6x
+    the conv), and the packed band conv times at the noise floor.
+    """
+    kh = w.shape[0]
+    p, pads = _dw_placement(kh, dil, k)
+    p = jnp.asarray(p, w.dtype)
+    wk = jnp.einsum("ytcd,tqsj->yqscjd", w, p)
+    ci, co = w.shape[2], w.shape[3]
+    return wk.reshape(kh, p.shape[1], k * ci, k * co), pads
+
+
+def conv_packed(xp: jnp.ndarray, w: jnp.ndarray, b, dil: int, k: int) -> jnp.ndarray:
+    """Dense (kh,kh) dil conv, stride 1, SAME zero padding, on packed
+    activations.  w: (kh, kh, Ci, Co); b: (Co,) or None."""
+    kh = w.shape[0]
+    wk, (pad_lo, pad_hi) = dense_band_weights(w, dil, k)
+    y = lax.conv_general_dilated(
+        xp, wk, (1, 1),
+        [((kh // 2) * dil,) * 2, (pad_lo, pad_hi)],
+        rhs_dilation=(dil, 1),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if b is not None:
+        y = y + jnp.tile(b, k)
+    return y
+
+
 def dw_conv_packed(xp: jnp.ndarray, w: jnp.ndarray, b, dil: int, k: int) -> jnp.ndarray:
     """Depthwise (kh,kh) dil conv, stride 1, SAME zero padding, on packed
     activations.  w: flax dw kernel (kh, kh, 1, C); b: (C,) or None."""

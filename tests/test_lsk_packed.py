@@ -48,6 +48,51 @@ def test_dw_conv_packed_exact_fp32():
                                    rtol=0, atol=1e-5)
 
 
+def test_dense_conv_packed_exact_fp32():
+    key = jax.random.PRNGKey(0)
+    for ci, co, k in ((32, 32, 4), (32, 48, 4), (16, 32, 8)):
+        x = jax.random.normal(key, (2, 12, 24, ci), jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, ci, co), jnp.float32)
+        b = jax.random.normal(jax.random.PRNGKey(2), (co,), jnp.float32)
+        ref = lax.conv_general_dilated(
+            x, w, (1, 1), [(1, 1)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        got = pk.unpack(pk.conv_packed(pk.pack(x, k), w, b, 1, k), k)
+        # fp32 accumulation-order reassociation on |out|~80: ~4e-5
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=2e-4)
+
+
+def test_hrnet_packed_matches_reference_path():
+    """hr-w32 branch0 (C=32) runs the eval-only packed BasicBlock chain:
+    identical variable tree and near-identical fp32 outputs (BN fold is a
+    per-channel affine reassociation) vs packed=False."""
+    from segland_tpu.models.backbones.hrnet import HighResolutionNet
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3), jnp.float32)
+    m_pk = HighResolutionNet(packed=True)
+    m_rf = HighResolutionNet(packed=False)
+    v = m_pk.init(jax.random.PRNGKey(1), x, train=False)
+    # perturb BN stats so the fold isn't trivially (x-0)/1
+    v = jax.tree_util.tree_map(
+        lambda a: a + 0.05 if a.ndim == 1 else a, v)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(
+                m_rf.init(jax.random.PRNGKey(1), x, train=False)))
+    outs_pk = m_pk.apply(v, x, train=False)
+    outs_rf = m_rf.apply(v, x, train=False)
+    for a, b in zip(outs_pk, outs_rf):
+        # random-init magnitudes blow up to ~6e3 through the residual
+        # chains; measured max rel diff at that scale is ~6e-7 (pure fp32
+        # reassociation of the BN fold + band conv)
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=0,
+                                   atol=1e-2 * max(1.0, float(np.abs(b).max()) / 1e3))
+    # train mode must take the standard path (BN batch stats update)
+    _, muts = m_pk.apply(v, x, train=True, mutable=["batch_stats"])
+    assert "batch_stats" in muts
+
+
 def test_conv1x1_packed_exact_fp32():
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (2, 8, 16, 32), jnp.float32)
