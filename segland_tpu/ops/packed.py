@@ -113,6 +113,15 @@ def dw_band_weights(w: jnp.ndarray, dil: int, k: int):
     return wk.reshape(kh, kw_p, k * c, k * c), pads
 
 
+def band_kw(kh: int, dil: int, k: int) -> int:
+    """Packed-column width of the band kernel for a (kh, dil) conv at pack
+    factor k.  Depthwise FLOP inflation is band_kw*k/kh; a band is worth it
+    only while that stays <= the lane-padding waste it removes (~k), i.e.
+    band_kw <= kh."""
+    r = (kh // 2) * dil
+    return 2 * ((r + k - 1) // k) + 1
+
+
 def dense_band_weights(w: jnp.ndarray, dil: int, k: int):
     """Dense conv kernel (kh, kh, Ci, Co) -> W-packed band kernel
     (kh, kw_p, k*Ci, k*Co) + (pad_lo, pad_hi) in packed columns.
