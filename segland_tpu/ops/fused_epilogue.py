@@ -65,6 +65,18 @@ def _supported(b, h, w, k, oh, ow):
     # lane-dim tiling: full 128-lane tiles for the wide arrays
     if ow % 128 or w % 128:
         return False
+    # scoped-VMEM footprint: the grid is (B,) with whole-image blocks, so
+    # near-full-resolution logits (e.g. vggunet_pop's K=8 1024^2, factor 1)
+    # blow the ~16 MB scoped limit (measured: 75.5M requested).  Estimate
+    # the resident blocks and refuse rather than OOM at compile time.
+    src = _RB // fr
+    vmem = (k * (h + 2 * _HALO) * w * 4          # logits block, fp32
+            + 4 * w * ow * 2                     # wc4, bf16
+            + oh * 4 * (src + 2 * _HALO) * 2     # wr4, bf16
+            + oh * ow                            # uint8 out
+            + k * (src + 2 * _HALO) * ow * 4)    # fp32 scratch
+    if vmem > 12 * 1024 * 1024:
+        return False
     # drift in {0,1} holds for any integer factor (see module docstring)
     return True
 

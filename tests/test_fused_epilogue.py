@@ -49,6 +49,11 @@ def test_supported_predicate():
     assert not ok((2, 256, 100, 8), (1024, 1024))   # lane-unaligned w
     assert not ok((2, 256, 256, 8), (1000, 1024))   # oh not a _RB multiple
     assert not ok((2, 256, 256), (1024, 1024))      # not 4-D
+    # scoped-VMEM gate: vggunet_pop's full-res logits (factor 1) request a
+    # 75.5 MB whole-image block — must route to the XLA fallback, not OOM
+    assert not ok((4, 1024, 1024, 8), (1024, 1024))
+    assert not ok((8, 512, 512, 8), (1024, 1024))   # factor 2, 17 MB block
+    assert ok((8, 128, 128, 12), (1024, 1024))      # eval_ft 12-class shape
 
 
 def test_evaluator_postprocess_routes_fused_and_falls_back():
