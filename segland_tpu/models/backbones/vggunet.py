@@ -16,8 +16,10 @@ from typing import Any
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ...ops import packed as pk
 from ...ops.resize import resize_bilinear
 from ...ops.pooling import max_pool_2x2
+from .fused import BNParams, ConvParams
 
 
 def _cbr(x, feats, train, dtype, name, relu=True):
@@ -27,12 +29,41 @@ def _cbr(x, feats, train, dtype, name, relu=True):
     return nn.relu(x) if relu else x
 
 
+def _bn_fold(scale, bias, mean, var):
+    """Eval BatchNorm as a per-channel affine (s, b): y*s + b, fp32."""
+    s = scale.astype(jnp.float32) / jnp.sqrt(var.astype(jnp.float32) + 1e-5)
+    return s, bias.astype(jnp.float32) - mean.astype(jnp.float32) * s
+
+
+def _packed_cbr(parent, xp, cin, cout, name, k, dtype):
+    """conv3x3(+bias) + eval-folded BN + relu on W-packed activations.
+
+    Identical variable tree to _cbr (ConvParams/BNParams mirror nn.Conv /
+    nn.BatchNorm names), so checkpoints and the .pth converter are
+    unaffected.  Exact in fp32 (band-conv off-block weights are hard
+    zeros); bf16 deltas are 1-ulp class (ops/packed.py docstring)."""
+    w, b = ConvParams((3, 3), cin, cout, use_bias=True,
+                      name=f"{name}_conv", parent=parent)()
+    s, ab = _bn_fold(*BNParams(cout, name=f"{name}_bn", parent=parent)())
+    wf = (w.astype(jnp.float32) * s[None, None, None]).astype(dtype)
+    bf = (b.astype(jnp.float32) * s + ab).astype(dtype)
+    return nn.relu(pk.conv_packed(xp, wf, bf, 1, k))
+
+
 class VGGUNet(nn.Module):
     dtype: Any = jnp.float32
+    # Eval-only W-packing (k=2) of the enc1 chain, the full-resolution
+    # 64-channel encoder surface.  At C=64 every vector lane and MXU column
+    # is half empty; packing two adjacent W-pixels into the channel dim runs
+    # the glue at full lane density and the 3x3 convs as block-banded dense
+    # MXU convs (ops/packed.py; measured on-chip: enc1 5.04 -> 4.14 ms at
+    # b2 1024^2, model 59.1 -> 58.2 ms — benchmarks/vgg_packed_probe.py).
+    packed: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
+        use_packed = self.packed and not train and x.shape[2] % 2 == 0
 
         def block(x, feats, n_convs, name):
             """VGG block; returns (pre-ReLU snapshot, post-ReLU output)."""
@@ -43,7 +74,13 @@ class VGGUNet(nn.Module):
 
         # skips: post-ReLU for x1..x4 (the reference's inplace ReLUs mutate
         # them before the Up stages run), pre-ReLU for x5 (see module doc)
-        _, x1 = block(x, 64, 2, "enc1")
+        if use_packed:
+            xp = pk.pack(x.astype(dt), 2)
+            xp = _packed_cbr(self, xp, 3, 64, "enc1_0", 2, dt)
+            xp = _packed_cbr(self, xp, 64, 64, "enc1_1", 2, dt)
+            x1 = pk.unpack(xp, 2)
+        else:
+            _, x1 = block(x, 64, 2, "enc1")
         _, x2 = block(max_pool_2x2(x1), 128, 2, "enc2")
         _, x3 = block(max_pool_2x2(x2), 256, 3, "enc3")
         _, x4 = block(max_pool_2x2(x3), 512, 3, "enc4")
@@ -63,5 +100,9 @@ class VGGUNet(nn.Module):
         out = up(x5, x4, 256, 512, "up1")
         out = up(out, x3, 128, 256, "up2")
         out = up(out, x2, 64, 128, "up3")
+        # Negative result (measured end-to-end, benchmarks/vggunet_bench.py):
+        # packing up4's glue + dc1 the same way LOSES ~3 ms/b2 — splitting
+        # dc0 into raw-conv -> pack-reshape -> affine breaks XLA's
+        # conv+epilogue fusion and materializes the 1M-px conv output.
         out = up(out, x1, 64, 64, "up4")
         return out

@@ -149,3 +149,28 @@ def test_lsk_stage_block_packed_train_mode():
     zero = [jax.tree_util.keystr(kp) for kp, l in leaves
             if not bool(jnp.any(jnp.abs(l) > 0))]
     assert not zero, f"zero gradients at: {zero}"
+
+
+def test_vggunet_packed_matches_reference_path():
+    """VGGUNet enc1 packed chain (eval-only): identical variable tree and
+    fp32-exact outputs vs packed=False; train mode takes the plain path."""
+    from segland_tpu.models.backbones.vggunet import VGGUNet
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3), jnp.float32)
+    m_pk = VGGUNet(packed=True)
+    m_rf = VGGUNet(packed=False)
+    v = m_pk.init(jax.random.PRNGKey(1), x, train=False)
+    v = jax.tree_util.tree_map(lambda a: a + 0.05 if a.ndim == 1 else a, v)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(
+                m_rf.init(jax.random.PRNGKey(1), x, train=False)))
+    a = np.asarray(m_pk.apply(v, x, train=False))
+    b = np.asarray(m_rf.apply(v, x, train=False))
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-4)
+    # odd width -> plain path (pack needs W % 2 == 0)
+    xo = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 66, 3), jnp.float32)
+    vo = m_pk.init(jax.random.PRNGKey(1), xo, train=False)
+    assert m_pk.apply(vo, xo, train=False).shape == (1, 64, 66, 64)
+    # train mode must take the standard path (BN batch stats update)
+    _, muts = m_pk.apply(v, x, train=True, mutable=["batch_stats"])
+    assert "batch_stats" in muts
