@@ -172,6 +172,12 @@ class SwinBlock(nn.Module):
     use_pallas: bool = False
     fused_mlp: bool = False
     fused_attn: bool = False
+    # Super-window grouping for the fused attention section: fuse this many
+    # windows into one kernel window via a block-diagonal bias (exact; see
+    # ops/pallas_attn.py).  Turns the N=49/hd=32 per-head dots — far below
+    # the 128-lane MXU tile — into full-tile matmuls at group-x the (small)
+    # score/ctx FLOPs.
+    attn_group: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -213,7 +219,8 @@ class SwinBlock(nn.Module):
             wins = _window_partition(x, ws)
             wins = swin_attn_section_fused(
                 wins, mask_tok, g_ln, b_ln, wqkv, bqkv, wproj, bproj,
-                bias_arr, self.num_heads, eps=1e-5, regions=regions)
+                bias_arr, self.num_heads, eps=1e-5, regions=regions,
+                group=self.attn_group)
             x = _window_reverse(wins, ws, b, hp, wp)
             if self.shift_size > 0:
                 x = jnp.roll(x, (self.shift_size, self.shift_size), axis=(1, 2))

@@ -23,6 +23,8 @@ Output: [NW, N, C] attention output (pre-projection).
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -195,7 +197,8 @@ def _attn_section_kernel(x_ref, mask_ref, region_ref, gamma_ref, beta_ref,
 
 
 def _attn_section_pallas(x_win, mask_tok, regions, gamma, beta, wqkv, bqkv,
-                         wproj, bproj, bias, num_heads, eps, interpret):
+                         wproj, bproj, bias, num_heads, eps, interpret,
+                         group=1):
     nw, n, c = x_win.shape
     hd = c // num_heads
     cdt = x_win.dtype
@@ -224,14 +227,48 @@ def _attn_section_pallas(x_win, mask_tok, regions, gamma, beta, wqkv, bqkv,
         n_real = n
     assert bias.shape[0] == 1, "bias must be window-independent (rel-pos only)"
 
-    n_pad = ceil_to(n, 8)
-    lanes = ceil_to(n, 128)
     # tile the (tiny) per-window arrays over the batch so their blocks
     # follow x's index map directly and never constrain wblk
     if mask_tok.shape[0] > 1:
         mask_tok = jnp.tile(mask_tok, (nw // mask_tok.shape[0], 1))
     if has_region and regions.shape[0] > 1:
         regions = jnp.tile(regions, (nw // regions.shape[0], 1))
+
+    # Super-window grouping: fuse `group` windows into one kernel window of
+    # group*n tokens with a block-diagonal bias (cross-window keys at -1e9
+    # underflow to an exact 0 after softmax, so results are bit-identical
+    # modulo fp32 reduction order).  Swin's N=49 / head_dim=32 windows are
+    # far below the 128-lane MXU tile; each per-head batched dot lowers to
+    # wblk tiny passes.  Grouping multiplies only the (small) score/ctx
+    # FLOPs by `group` while turning them into full-tile matmuls.
+    n_orig, nw_orig = n, nw
+    gg = int(group) if int(group) > 1 else 1
+    if gg > 1:
+        if nw % gg:
+            pad = gg - nw % gg
+            x_win = jnp.pad(x_win, ((0, pad), (0, 0), (0, 0)))
+            if mask_tok.shape[0] > 1:
+                mask_tok = jnp.pad(mask_tok, ((0, pad), (0, 0)))
+            if has_region and regions.shape[0] > 1:
+                regions = jnp.pad(regions, ((0, pad), (0, 0)),
+                                  constant_values=-1.0)
+            nw = nw + pad
+        x_win = x_win.reshape(nw // gg, gg * n, c)
+        mask_tok = (jnp.tile(mask_tok, (1, gg)) if mask_tok.shape[0] == 1
+                    else mask_tok.reshape(nw // gg, gg * n))
+        if has_region and regions.shape[0] > 1:
+            regions = regions.reshape(nw // gg, gg * n)
+        elif has_region:
+            regions = jnp.tile(regions, (1, gg))
+        blk = np.kron(np.eye(gg, dtype=np.float32),
+                      np.ones((n, n), np.float32))
+        bias = jnp.where(jnp.asarray(blk) > 0.0,
+                         jnp.tile(bias.astype(jnp.float32), (1, 1, gg, gg)),
+                         -1e9).astype(bias.dtype)
+        nw, n = nw // gg, gg * n
+
+    n_pad = ceil_to(n, 8)
+    lanes = ceil_to(n, 128)
     # per-window VMEM: x/out double-buffered + qkv + fp32 intermediates
     # (x, y from the LN; qkv before the cast; acc; attn scratch + shift pen)
     per_win = (
@@ -244,7 +281,7 @@ def _attn_section_pallas(x_win, mask_tok, regions, gamma, beta, wqkv, bqkv,
     shared = ((4 * c * c + 4 * c) * itemsize
               + num_heads * n_pad * lanes * bias.dtype.itemsize)
     budget = max(1, (11 * 1024 * 1024 - shared) // per_win)
-    wblk = min(budget, 32, nw)
+    wblk = min(budget, max(1, 32 // gg), nw)
     grid = (-(-nw // wblk),)
     nw_padded = grid[0] * wblk
     if nw_padded != nw:
@@ -258,14 +295,17 @@ def _attn_section_pallas(x_win, mask_tok, regions, gamma, beta, wqkv, bqkv,
 
     bias_spec = pl.BlockSpec((1, num_heads, n, n), lambda j: (0, 0, 0, 0),
                              memory_space=pltpu.VMEM)
-    row3 = lambda shape0: pl.BlockSpec(
-        (shape0, n, 1),
-        (lambda j: (0, 0, 0)) if shape0 == 1 else (lambda j: (j, 0, 0)),
+    # NB: broadcast (single-row array) and per-window are distinct cases even
+    # when wblk == 1 — the index map must still advance with j for
+    # per-window arrays, or every grid step would read window 0's rows.
+    row3 = lambda broadcast: pl.BlockSpec(
+        (1 if broadcast else wblk, n, 1),
+        (lambda j: (0, 0, 0)) if broadcast else (lambda j: (j, 0, 0)),
         memory_space=pltpu.VMEM)
-    mask_spec = row3(1 if mask_tok.shape[0] == 1 else wblk)
+    mask_spec = row3(mask_tok.shape[0] == 1)
     if not has_region:
         regions = jnp.zeros((1, n), jnp.float32)
-    region_spec = row3(1 if regions.shape[0] == 1 else wblk)
+    region_spec = row3(regions.shape[0] == 1)
 
     vec = lambda a: a.reshape(1, -1).astype(jnp.float32)
     kernel = functools.partial(_attn_section_kernel, num_heads=num_heads,
@@ -299,7 +339,9 @@ def _attn_section_pallas(x_win, mask_tok, regions, gamma, beta, wqkv, bqkv,
       vec(bproj), bias)
     if nw_padded != nw:
         out = out[:nw]
-    return out[:, :n_real, :] if n_real != n else out
+    if gg > 1:
+        out = out.reshape(nw * gg, n_orig, c)[:nw_orig]
+    return out[:, :n_real, :] if n_real != n_orig else out
 
 
 def attn_section_reference(x_win, mask_tok, gamma, beta, wqkv, bqkv, wproj,
@@ -335,24 +377,24 @@ def attn_section_reference(x_win, mask_tok, gamma, beta, wqkv, bqkv, wproj,
     return x_win + out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
 def _attn_section(x_win, mask_tok, regions, gamma, beta, wqkv, bqkv, wproj,
-                  bproj, bias, num_heads, eps, interpret):
+                  bproj, bias, num_heads, eps, interpret, group):
     return _attn_section_pallas(x_win, mask_tok, regions, gamma, beta, wqkv,
                                 bqkv, wproj, bproj, bias, num_heads, eps,
-                                interpret)
+                                interpret, group=group)
 
 
 def _attn_section_fwd(x_win, mask_tok, regions, gamma, beta, wqkv, bqkv,
-                      wproj, bproj, bias, num_heads, eps, interpret):
+                      wproj, bproj, bias, num_heads, eps, interpret, group):
     out = _attn_section_pallas(x_win, mask_tok, regions, gamma, beta, wqkv,
                                bqkv, wproj, bproj, bias, num_heads, eps,
-                               interpret)
+                               interpret, group=group)
     return out, (x_win, mask_tok, regions, gamma, beta, wqkv, bqkv, wproj,
                  bproj, bias)
 
 
-def _attn_section_bwd(num_heads, eps, interpret, saved, g):
+def _attn_section_bwd(num_heads, eps, interpret, group, saved, g):
     x_win, mask_tok, regions, gamma, beta, wqkv, bqkv, wproj, bproj, bias = saved
 
     def f(x_win_, gamma_, beta_, wqkv_, bqkv_, wproj_, bproj_, bias_):
@@ -375,7 +417,7 @@ _attn_section.defvjp(_attn_section_fwd, _attn_section_bwd)
 
 def swin_attn_section_fused(x_win, mask_tok, gamma, beta, wqkv, bqkv, wproj,
                             bproj, bias, num_heads, eps=1e-5, regions=None,
-                            interpret=False):
+                            interpret=False, group=1):
     """Fused LN+qkv+window-attention+proj+residual over partitioned windows.
 
     x_win: [NW, N, C] raw (un-normalized) window-partitioned input;
@@ -390,7 +432,7 @@ def swin_attn_section_fused(x_win, mask_tok, gamma, beta, wqkv, bqkv, wproj,
                                       bqkv, wproj, bproj, bias, num_heads,
                                       eps, regions=regions)
     return _attn_section(x_win, mask_tok, regions, gamma, beta, wqkv, bqkv,
-                         wproj, bproj, bias, num_heads, eps, interpret)
+                         wproj, bproj, bias, num_heads, eps, interpret, group)
 
 
 def window_attention_reference(qkv: jnp.ndarray, bias: jnp.ndarray, num_heads: int) -> jnp.ndarray:

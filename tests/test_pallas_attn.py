@@ -27,3 +27,43 @@ def test_window_attention_fused_with_shift_mask(rng):
     want = np.asarray(window_attention_reference(jnp.asarray(qkv), jnp.asarray(mask), nh))
     got = np.asarray(window_attention_fused(jnp.asarray(qkv), jnp.asarray(mask), nh, interpret=True))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_attn_section_group_matches_ungrouped(rng):
+    """Super-window grouping (block-diagonal bias over g fused windows) is
+    exact vs group=1, including non-multiple window counts, shift regions,
+    and the wblk=1 regime (large super-windows force one window per grid
+    step — regression for the row3 index map pinning per-window regions to
+    block 0 when wblk == 1)."""
+    import jax
+
+    from segland_tpu.ops.pallas_attn import (attn_section_reference,
+                                             swin_attn_section_fused)
+
+    n, c, nh, nw = 49, 32, 4, 18
+    x = jnp.asarray(rng.randn(nw, n, c).astype(np.float32) * 0.2)
+    p = dict(
+        gamma=jnp.asarray(rng.rand(c).astype(np.float32) + 0.5),
+        beta=jnp.asarray(rng.randn(c).astype(np.float32) * 0.1),
+        wqkv=jnp.asarray(rng.randn(c, 3 * c).astype(np.float32) * 0.1),
+        bqkv=jnp.asarray(rng.randn(3 * c).astype(np.float32) * 0.1),
+        wproj=jnp.asarray(rng.randn(c, c).astype(np.float32) * 0.1),
+        bproj=jnp.asarray(rng.randn(c).astype(np.float32) * 0.1),
+    )
+    bias = jnp.asarray(rng.randn(1, nh, n, n).astype(np.float32) * 0.3)
+    mask = jnp.ones((1, n), jnp.float32)
+    regions = jnp.asarray(rng.randint(0, 4, (nw, n)).astype(np.float32))
+    ref = attn_section_reference(x, mask, bias=bias, num_heads=nh,
+                                 regions=regions, **p)
+    for g in (1, 2, 8):  # g=8 -> 448-token super-windows -> wblk=1, grid>1
+        out = swin_attn_section_fused(x, mask, bias=bias, num_heads=nh,
+                                      regions=regions, interpret=True,
+                                      group=g, **p)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5, err_msg=f"group={g}")
+    # gradient path must stay intact (reference-vjp backward, bias included)
+    f = lambda xw, b: swin_attn_section_fused(
+        xw, mask, bias=b, num_heads=nh, regions=regions, interpret=True,
+        group=2, **p).sum()
+    gx, gb = jax.grad(f, argnums=(0, 1))(x, bias)
+    assert bool(jnp.isfinite(gx).all()) and float(jnp.abs(gb).max()) > 0
