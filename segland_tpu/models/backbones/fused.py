@@ -74,16 +74,27 @@ class ConvParams(nn.Module):
 
 class BNParams(nn.Module):
     """Same variable tree as nn.BatchNorm(name=...): params {scale, bias} +
-    batch_stats {mean, var} (fp32).  Lets an eval-only reformulation fold the
-    normalization into a per-channel affine without touching the tree."""
+    batch_stats {mean, var} (fp32).  Lets a reformulation (fused kernel or
+    packed-lane path) fold the normalization into a per-channel affine
+    without touching the tree.
+
+    ``batch_update=(mean, var)``: train-mode running-stat update mirroring
+    nn.BatchNorm(momentum=m): ra = m*ra + (1-m)*batch (requires the caller's
+    apply to have batch_stats mutable, exactly like nn.BatchNorm)."""
     features: int
+    momentum: float = 0.9
 
     @nn.compact
-    def __call__(self):
+    def __call__(self, batch_update=None):
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         mean = self.variable("batch_stats", "mean",
                              lambda: jnp.zeros((self.features,), jnp.float32))
         var = self.variable("batch_stats", "var",
                             lambda: jnp.ones((self.features,), jnp.float32))
+        if batch_update is not None and not self.is_initializing():
+            m = self.momentum
+            bm, bv = batch_update
+            mean.value = m * mean.value + (1.0 - m) * bm.astype(jnp.float32)
+            var.value = m * var.value + (1.0 - m) * bv.astype(jnp.float32)
         return scale, bias, mean.value, var.value

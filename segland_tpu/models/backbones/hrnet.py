@@ -28,11 +28,12 @@ _FILTERS = {
 class _Ops:
     """Name-scoped conv/bn helpers bound to a parent @nn.compact module."""
 
-    def __init__(self, parent, train, dtype, packed=False):
+    def __init__(self, parent, train, dtype, packed=False, packed_train=False):
         self.p = parent
         self.train = train
         self.dtype = dtype
         self.packed = packed
+        self.packed_train = packed_train
 
     def conv(self, x, feats, k, s, name, dilation=1):
         pad = dilation * (k // 2)
@@ -75,21 +76,40 @@ def _bottleneck(ops, x, planes, name, stride=1, has_down=False):
 
 
 def _packed_cb(ops, xp, ch, name, k, relu):
-    """conv3x3 + eval-folded BN (+relu) on W-packed activations; identical
+    """conv3x3 + BatchNorm (+relu) on W-packed activations; identical
     variable tree to ops.cb/cbr (ConvParams/BNParams mirror nn.Conv/
-    nn.BatchNorm names)."""
+    nn.BatchNorm names).
+
+    Eval: BN folded to a per-channel affine on running stats.  Train: exact
+    per-channel batch stats from the packed layout — the k tile groups are
+    disjoint W-pixel subsets of the same channels, so reducing over
+    (B,H,Wp) x k gives the same mean/E[x^2] as the unpacked reduction —
+    normalization + the nn.BatchNorm(momentum) running-stat update follow
+    flax semantics.  Gradients are exact: dense_band_weights is a linear
+    (constant-placement einsum) function of the conv kernel."""
     w, _ = ConvParams((3, 3), ch, ch, use_bias=False,
                       name=f"{name}_conv", parent=ops.p)()
-    scale, bias, mean, var = BNParams(ch, name=f"{name}_bn", parent=ops.p)()
     y = pk.conv_packed(xp, w.astype(ops.dtype), None, 1, k)
-    s = scale / jnp.sqrt(var + 1e-5)
-    y = y * jnp.tile(s, k).astype(y.dtype) \
-        + jnp.tile(bias - mean * s, k).astype(y.dtype)
+    if ops.train:
+        # promote like flax _compute_stats (fp32 stats for bf16/fp32 runs,
+        # fp64 kept in fp64 test runs)
+        yf = y.astype(jnp.promote_types(y.dtype, jnp.float32)).reshape(-1, k, ch)
+        bm = jnp.mean(yf, axis=(0, 1))
+        bv = jnp.maximum(jnp.mean(yf * yf, axis=(0, 1)) - bm * bm, 0.0)
+        scale, bias, _, _ = BNParams(ch, name=f"{name}_bn",
+                                     parent=ops.p)((bm, bv))
+        s = scale / jnp.sqrt(bv + 1e-5)
+        aff_b = bias - bm * s
+    else:
+        scale, bias, mean, var = BNParams(ch, name=f"{name}_bn", parent=ops.p)()
+        s = scale / jnp.sqrt(var + 1e-5)
+        aff_b = bias - mean * s
+    y = y * jnp.tile(s, k).astype(y.dtype) + jnp.tile(aff_b, k).astype(y.dtype)
     return nn.relu(y) if relu else y
 
 
 def _packed_branch(ops, x, ch, names, k):
-    """Eval-only: a chain of BasicBlocks entirely in the W-packed layout.
+    """A chain of BasicBlocks entirely in the W-packed layout.
 
     The win is NOT the convs (a bare 3x3 32->32 conv measures 0.19 ms at
     branch0 shapes) but the elementwise epilogues: BN-affine/relu/residual
@@ -117,7 +137,7 @@ def _hr_module(ops, xs, channels: Sequence[int], name: str):
         # for dense 3x3 chains (branch1 0.65 -> 0.10 ms/module measured) —
         # the band kernel only inflates dense FLOPs by kw_p*k/kh = 2x
         kp = (pk.pack_k(channels[b], min_k=2)
-              if ops.packed and not ops.train else 1)
+              if ops.packed and (not ops.train or ops.packed_train) else 1)
         if kp > 1 and x.shape[2] % kp == 0 and x.shape[-1] == channels[b]:
             ys.append(_packed_branch(
                 ops, x, channels[b],
@@ -153,12 +173,18 @@ def _hr_module(ops, xs, channels: Sequence[int], name: str):
 
 class HighResolutionNet(nn.Module):
     filters: Sequence[int] = (32, 64, 128, 256)
-    packed: bool = True  # eval-only W-packed branch chains (see _packed_branch)
+    packed: bool = True  # W-packed branch chains (see _packed_branch)
+    # Train-mode packing of the same chains (exact batch stats from the
+    # packed layout, exact grads through the linear band-weight transform).
+    # Measured 1.59x on the w32 train step at the reference base config
+    # (benchmarks/hrnet_train_probe.py: 230.7 -> 145.4 ms b4 768^2).
+    packed_train: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        ops = _Ops(self, train, self.dtype, packed=self.packed)
+        ops = _Ops(self, train, self.dtype, packed=self.packed,
+                   packed_train=self.packed_train)
         f = list(self.filters)
 
         # stem: two stride-2 3x3 convs (hrnet.py:296-303)
@@ -187,5 +213,7 @@ class HighResolutionNet(nn.Module):
         return xs  # fine->coarse, 4 branches
 
 
-def get_hrnet(name: str, dtype=jnp.float32, packed: bool = True) -> HighResolutionNet:
-    return HighResolutionNet(filters=_FILTERS[name], packed=packed, dtype=dtype)
+def get_hrnet(name: str, dtype=jnp.float32, packed: bool = True,
+              packed_train: bool = True) -> HighResolutionNet:
+    return HighResolutionNet(filters=_FILTERS[name], packed=packed,
+                             packed_train=packed_train, dtype=dtype)

@@ -93,6 +93,53 @@ def test_hrnet_packed_matches_reference_path():
     assert "batch_stats" in muts
 
 
+def test_hrnet_packed_train_matches_reference_path():
+    """packed_train=True: train-mode outputs, running-stat updates, and
+    gradients all match packed=False (exact batch stats from the packed
+    layout; fp32 reassociation only)."""
+    from segland_tpu.models.backbones.hrnet import HighResolutionNet
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3), jnp.float32)
+    m_pk = HighResolutionNet(packed=True, packed_train=True)
+    m_rf = HighResolutionNet(packed=False)
+    v = m_pk.init(jax.random.PRNGKey(1), x, train=True)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(
+                m_rf.init(jax.random.PRNGKey(1), x, train=True)))
+
+    outs_pk, mut_pk = m_pk.apply(v, x, train=True, mutable=["batch_stats"])
+    outs_rf, mut_rf = m_rf.apply(v, x, train=True, mutable=["batch_stats"])
+    for a, b in zip(outs_pk, outs_rf):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(
+            a, b, rtol=0, atol=2e-2 * max(1.0, float(np.abs(b).max()) / 1e3))
+    # running-stat (momentum) updates agree for every BN
+    flat_pk = jax.tree_util.tree_leaves_with_path(mut_pk["batch_stats"])
+    flat_rf = dict(jax.tree_util.tree_leaves_with_path(mut_rf["batch_stats"]))
+    assert flat_pk and len(flat_pk) == len(flat_rf)
+    for kp, a in flat_pk:
+        b = flat_rf[kp]
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0,
+            atol=2e-2 * max(1.0, float(np.abs(np.asarray(b)).max()) / 1e3),
+            err_msg=jax.tree_util.keystr(kp))
+
+    # gradients through batch-stat normalization + band convs match
+    def loss(m, p):
+        outs, _ = m.apply({**v, "params": p}, x, train=True,
+                          mutable=["batch_stats"])
+        return sum((o.astype(jnp.float32) ** 2).mean() for o in outs)
+
+    g_pk = jax.grad(lambda p: loss(m_pk, p))(v["params"])
+    g_rf = jax.grad(lambda p: loss(m_rf, p))(v["params"])
+    for (kp, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(g_pk),
+                               jax.tree_util.tree_leaves_with_path(g_rf)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(
+            a, b, rtol=0, atol=2e-2 * max(1.0, float(np.abs(b).max()) / 1e3),
+            err_msg=jax.tree_util.keystr(kp))
+
+
 def test_conv1x1_packed_exact_fp32():
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (2, 8, 16, 32), jnp.float32)
