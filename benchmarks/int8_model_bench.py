@@ -54,3 +54,9 @@ if __name__ == "__main__":
         bench("deeplab_pop", "resnet50", 16)
     elif which == "swin":
         bench("swin_pop", "swin-s", 8)
+    elif which == "vggunet":
+        # batch-saturated at b2 (BASELINE.md); full-res 64..512ch VGG convs
+        # are the same deep-3x3 profile where int8 won 1.5-1.6x on resnet
+        bench("vggunet_pop", "vgg16bn-unet", 2)
+    elif which == "lsk":
+        bench("lsk_pop", "lsk-t", 32)

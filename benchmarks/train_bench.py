@@ -20,8 +20,10 @@ from segland_tpu.train.ft import ft_trainable, init_cls_n
 probe = jax.jit(lambda t: jax.tree_util.tree_leaves(t)[0].astype(jnp.float32).sum())
 
 
-def bench_base(model_name, backbone, batch, size=768, iters=6, dtype=jnp.bfloat16):
-    model = build_model(model_name, backbone=backbone, n_base=7, dtype=dtype)
+def bench_base(model_name, backbone, batch, size=768, iters=6, dtype=jnp.bfloat16,
+               fused=False):
+    model = build_model(model_name, backbone=backbone, n_base=7, dtype=dtype,
+                        fused_mlp=fused, fused_attn=fused)
     img = jax.random.normal(jax.random.PRNGKey(1), (batch, size, size, 3), jnp.float32)
     mask = jax.random.randint(jax.random.PRNGKey(2), (batch, size, size), 0, 8)
     variables = jax.jit(lambda k, x: model.init({"params": k, "dropout": k}, x, train=True))(
@@ -43,15 +45,16 @@ def bench_base(model_name, backbone, batch, size=768, iters=6, dtype=jnp.bfloat1
         state = step(state, img, mask)
     float(probe(state.params))
     dt = (time.time() - t0) / iters
-    print(f"base {model_name}/{backbone} b{batch} {size}^2: {dt*1000:.1f} ms/step "
-          f"{batch/dt:.1f} crops/s", flush=True)
+    print(f"base {model_name}/{backbone} b{batch} {size}^2 fused={fused}: "
+          f"{dt*1000:.1f} ms/step {batch/dt:.1f} crops/s", flush=True)
 
 
-def bench_ft(iters=8):
+def bench_ft(iters=8, fused=False):
     from segland_tpu.train import make_ft_train_step
 
     model = build_model("swin_pop", backbone="swin-s", n_base=7, n_novel=4,
-                        is_ft=True, dtype=jnp.bfloat16)
+                        is_ft=True, dtype=jnp.bfloat16,
+                        fused_mlp=fused, fused_attn=fused)
     img = jax.random.normal(jax.random.PRNGKey(1), (1, 1024, 1024, 3), jnp.float32)
     mask = jax.random.randint(jax.random.PRNGKey(2), (1, 1024, 1024), 8, 12)
     img_b = img
@@ -78,7 +81,8 @@ def bench_ft(iters=8):
         state = step(state, img, mask, img_b, mask_b)
     float(probe(state.params))
     dt = (time.time() - t0) / iters
-    print(f"ft swin_pop/swin-s b1 1024^2: {dt*1000:.1f} ms/step", flush=True)
+    print(f"ft swin_pop/swin-s b1 1024^2 fused={fused}: {dt*1000:.1f} ms/step",
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -53,7 +53,21 @@ def make_ft_train_step(model, n_base: int, skip_nonfinite: bool = False):
     fwd = type(model).forward_novel
 
     def train_step(state, img, mask, img_b, mask_b):
-        def loss_fn(params):
+        # Differentiate w.r.t. the TRAINABLE subset only (novel_emb +
+        # classifier_n).  The reference freezes the rest with
+        # requires_grad=False (ft_pop.py + pspnet_pop.py:80-85), so torch
+        # never runs the backbone/decoder backward and its grad clip only
+        # sees trainable grads; masking a full-tree jax.grad would instead
+        # pay the whole backbone backward and then discard it (measured
+        # 105.0 -> 36.4 ms/step on the ft flagship, benchmarks/train_bench).
+        import flax
+
+        flat = flax.traverse_util.flatten_dict(state.params)
+        tr = {p: v for p, v in flat.items() if ft_trainable(p)}
+        fz = {p: v for p, v in flat.items() if not ft_trainable(p)}
+
+        def loss_fn(tr_params):
+            params = flax.traverse_util.unflatten_dict({**fz, **tr_params})
             variables = {"params": params, "batch_stats": state.batch_stats}
             img_full = jnp.concatenate([img, img_b], axis=0)
             logits, novel_logits, sim = state.apply_fn(variables, img_full, method=fwd)
@@ -65,8 +79,10 @@ def make_ft_train_step(model, n_base: int, skip_nonfinite: bool = False):
             ld = orth_loss(logits, mask_all, sim)
             return ld["total_loss"], ld
 
-        grads, ld = jax.grad(loss_fn, has_aux=True)(state.params)
-        grad_norm = optax.global_norm(grads)
+        grads_tr, ld = jax.grad(loss_fn, has_aux=True)(tr)
+        grad_norm = optax.global_norm(grads_tr)
+        grads = flax.traverse_util.unflatten_dict(
+            {**{p: jnp.zeros_like(v) for p, v in fz.items()}, **grads_tr})
         new_state = state.apply_gradients(grads=grads)
         if skip_nonfinite:
             ok = jnp.isfinite(grad_norm)
