@@ -42,6 +42,11 @@ def get_parser():
     p.add_argument("--double-step", action="store_true",
                    help="replicate the reference's double optimizer.step quirk "
                         "(train_base.py:262-264) for strict parity experiments")
+    p.add_argument("--device-augment", action="store_true",
+                   help="run crop/pad/flip/rot90/normalize fused on device "
+                        "inside the jitted train step (uint8 tiles over PCIe, "
+                        "bounded crop-retry; ops/device_aug.py). Host augs "
+                        "leave the training critical path entirely")
     return p
 
 
@@ -53,7 +58,8 @@ def main(argv=None):
     crop = parse_hw(args.input_size)
 
     TrainDS, ValDS = DATASETS[args.dataset]
-    trainset = TrainDS(args.data_dir, args.train_list, crop_size=crop, seed=seed)
+    trainset = TrainDS(args.data_dir, args.train_list, crop_size=crop, seed=seed,
+                       device_augment=args.device_augment)
     valset = ValDS(args.data_dir, args.val_list, use_novel=False, use_base=True)
     train_loader = Loader(
         trainset, args.batch_size, shuffle=True, drop_last=True, seed=seed,
@@ -104,9 +110,17 @@ def main(argv=None):
     mesh = make_mesh(math.gcd(jax.device_count(), args.batch_size))
     state = replicate(mesh, state)
     snap_freq = args.save_pred_every or args.snapshot_frequency
+    augment_fn = None
+    if args.device_augment:
+        import functools
+
+        from ..ops.device_aug import base_train_augment
+
+        augment_fn = functools.partial(
+            base_train_augment, crop_size=crop, ignore_label=args.ignore_label)
     raw_step = make_base_train_step(model, loss_name, double_step=args.double_step,
                                     skip_nonfinite=args.skip_nonfinite, seed=seed,
-                                    fix_bn=args.fix_bn)
+                                    fix_bn=args.fix_bn, augment_fn=augment_fn)
     train_step = jax.jit(raw_step, donate_argnums=0)
     # silent variant: identical update, returns only the new state.  Each
     # extra jit output costs ~50 ms of RPC handling over the axon tunnel

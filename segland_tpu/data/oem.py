@@ -27,10 +27,15 @@ class OEMTrainDataset:
     num_classes = NUM_CLASSES
 
     def __init__(self, root: str, list_path: str, crop_size=(512, 512),
-                 ignore_label: int = 255, seed: int = 123):
+                 ignore_label: int = 255, seed: int = 123,
+                 device_augment: bool = False):
         self.root = root
         self.crop_size = tuple(crop_size)
         self.ignore_label = ignore_label
+        # device_augment: skip the host aug pipeline and return raw uint8
+        # tiles + labels; the jitted train step fuses crop/pad/flip/rot90/
+        # normalize on device (ops/device_aug.py). TPU-first path.
+        self.device_augment = device_augment
         list_dir = os.path.dirname(list_path)
         train_list = os.path.join(list_dir, "train.txt")
         if not os.path.exists(train_list):
@@ -52,6 +57,9 @@ class OEMTrainDataset:
         tid = self.data_list[index]
         image = read_image(osp.join(self.root, "images", f"{tid}.tif"))
         label = read_label(osp.join(self.root, "labels", f"{tid}.tif")).astype(np.int32)
+        if self.device_augment:
+            return (np.ascontiguousarray(image.astype(np.uint8)),
+                    np.ascontiguousarray(label), tid)
         image, label = A.crop_train(self.nprng, image, label, self.crop_size, self.ignore_label)
         image, label = A.pad(self.crop_size, image, label, self.ignore_label)
         image, label = A.random_flip(self.rng, image, label)

@@ -17,9 +17,14 @@ from ..ops.resize import resize_bilinear
 
 def make_base_train_step(model, loss_name: str = "orth", double_step: bool = False,
                          skip_nonfinite: bool = False, seed: int = 0,
-                         fix_bn: bool = False):
+                         fix_bn: bool = False, augment_fn=None):
     """Returns train_step(state, img [B,H,W,3], mask [B,H,W]) ->
     (state, loss_dict, grad_norm).
+
+    augment_fn (optional): fused on-device augmentation
+    (ops/device_aug.base_train_augment partial'd over its config) applied as
+    (img, mask) = augment_fn(key, img, mask) at step start; img is then the
+    raw uint8 tile batch and the whole host aug pipeline moves into the jit.
 
     double_step replicates a reference quirk: train_base.py:262-264 calls
     optimizer.step() a second time after the AMP scaler already stepped, so
@@ -39,7 +44,12 @@ def make_base_train_step(model, loss_name: str = "orth", double_step: bool = Fal
         # one "dropout" stream feeds nn.Dropout AND DropPath (stochastic
         # depth) in the swin/lsknet/psp_v2 train paths; deterministic per
         # (seed, step) so resume reproduces the same noise sequence.
-        rngs = {"dropout": jax.random.fold_in(jax.random.PRNGKey(seed), state.step)}
+        step_key = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
+        rngs = {"dropout": step_key}
+        if augment_fn is not None:
+            # independent per-step stream for the on-device augs (fold tag 1
+            # keeps the dropout stream identical to the augment_fn=None path)
+            img, mask = augment_fn(jax.random.fold_in(step_key, 1), img, mask)
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}

@@ -54,6 +54,23 @@ def test_train_base_cli(data_root, tmp_path_factory):
     test_train_base_cli.snap = snap
 
 
+def test_train_base_cli_device_augment(data_root, tmp_path_factory):
+    """--device-augment: loader yields raw uint8 tiles, the jitted step
+    fuses crop/pad/flip/rot90/normalize on device (ops/device_aug.py)."""
+    from segland_tpu.cli.train_base import main
+
+    snap = str(tmp_path_factory.mktemp("snap_devaug"))
+    best = main(
+        ["--data-dir", str(data_root), "--train-list", str(data_root / "list" / "train.txt"),
+         "--val-list", str(data_root / "list" / "val.txt"), "--snapshot-dir", snap,
+         "--input-size", "32,32", "--batch-size", "2", "--num-epoch", "1",
+         "--learning-rate", "1e-4", "--val-start", "0", "--val-frequency", "1",
+         "--snapshot-frequency", "1", "--device-augment"] + COMMON
+    )
+    assert os.path.exists(os.path.join(snap, "best.ckpt"))
+    assert 0.0 <= best <= 1.0
+
+
 def test_eval_base_cli_with_gt(data_root, tmp_path_factory):
     from segland_tpu.cli.eval_base import main
 
