@@ -16,9 +16,16 @@ AUX_WEIGHT = 0.4    # reference loss/criterion.py:23
 
 
 def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray, ignore_index: int = 255) -> jnp.ndarray:
-    """Mean CE over non-ignored pixels. logits [B,H,W,K] fp32, labels [B,H,W] int."""
+    """Mean CE over non-ignored pixels. logits [B,H,W,K] fp32, labels [B,H,W] int.
+
+    Labels outside [0, K) are treated as ignored: torch's nll_loss ASSERTS on
+    them (the reference crashes on mislabeled data), while jnp.take_along_axis
+    out-of-bounds gathers fill NaN in the primal but drop the pixel in the
+    VJP — a silent nan loss with finite grads.  Masking them keeps the grads
+    identical and the reported loss finite + observable."""
     logits = logits.astype(jnp.float32)
-    valid = labels != ignore_index
+    valid = ((labels != ignore_index)
+             & (labels >= 0) & (labels < logits.shape[-1]))
     safe = jnp.where(valid, labels, 0).astype(jnp.int32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]

@@ -54,3 +54,29 @@ def test_orth_loss_dict(rng):
     np.testing.assert_allclose(
         float(d["total_loss"]), float(d["seg_loss"]) + 10.0 * float(d["orth_loss"]), rtol=1e-6
     )
+
+
+def test_cross_entropy_out_of_range_labels_are_ignored(rng):
+    """Labels outside [0, K) must act like ignore_index: torch asserts on
+    them (the reference crashes on mislabeled data) while a jnp
+    take_along_axis OOB gather fills NaN in the primal yet DROPS the pixel
+    in the VJP — i.e. a silent nan loss with finite grads (hit by the e2e
+    fixture's novel-class tiles during base training).  The masked loss must
+    be finite and equal the CE over the in-range pixels only."""
+    import jax
+
+    logits = rng.randn(2, 8, 8, 5).astype(np.float32)
+    labels = rng.randint(0, 5, (2, 8, 8)).astype(np.int32)
+    labels[0, 0] = 9       # above K
+    labels[1, 3, :4] = -2  # negative (not ignore_index)
+    masked = np.where((labels < 0) | (labels >= 5), 255, labels)
+
+    got = float(cross_entropy(jnp.asarray(logits), jnp.asarray(labels)))
+    want = float(cross_entropy(jnp.asarray(logits), jnp.asarray(masked)))
+    assert np.isfinite(got)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # grads stay finite and match the masked-label grads exactly
+    g = jax.grad(lambda l: cross_entropy(l, jnp.asarray(labels)))(jnp.asarray(logits))
+    g_ref = jax.grad(lambda l: cross_entropy(l, jnp.asarray(masked)))(jnp.asarray(logits))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-7)
