@@ -47,20 +47,44 @@ def get_parser():
                         "inside the jitted train step (uint8 tiles over PCIe, "
                         "bounded crop-retry; ops/device_aug.py). Host augs "
                         "leave the training critical path entirely")
+    p.add_argument("--metrics", action="store_true",
+                   help="write train/val scalars to <snapshot-dir>/"
+                        "metrics.jsonl (the tensorboardX writer the reference "
+                        "plumbs but ships disabled, train_base.py:139)")
     return p
 
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
-    logger = prep_experiment(args.snapshot_dir, rank=jax.process_index())
+    writer = None
+    if args.metrics:
+        writer, logger = prep_experiment(args.snapshot_dir,
+                                         rank=jax.process_index(),
+                                         need_writer=True)
+    else:
+        logger = prep_experiment(args.snapshot_dir, rank=jax.process_index())
 
     seed = int(args.random_seed.split(",")[0])
     crop = parse_hw(args.input_size)
 
     TrainDS, ValDS = DATASETS[args.dataset]
+    # device_augment is an optional dataset capability (only OEMTrainDataset
+    # has a raw-uint8-tile path); pass the kwarg only when requested so
+    # datasets without it (oem_ft) keep working, and fail with a clear
+    # message instead of a TypeError when it is requested but unsupported.
+    extra = {}
+    if args.device_augment:
+        import inspect
+
+        if "device_augment" not in inspect.signature(TrainDS.__init__).parameters:
+            raise SystemExit(
+                f"--device-augment is not supported by dataset '{args.dataset}' "
+                f"({TrainDS.__name__} has no raw-tile path); drop the flag")
+        extra["device_augment"] = True
     trainset = TrainDS(args.data_dir, args.train_list, crop_size=crop, seed=seed,
-                       device_augment=args.device_augment)
-    valset = ValDS(args.data_dir, args.val_list, use_novel=False, use_base=True)
+                       **extra)
+    valset = ValDS(args.data_dir, args.val_list, use_novel=False, use_base=True,
+                   stats=args.norm_stats)
     train_loader = Loader(
         trainset, args.batch_size, shuffle=True, drop_last=True, seed=seed,
         process_index=jax.process_index(), process_count=jax.process_count(),
@@ -117,7 +141,8 @@ def main(argv=None):
         from ..ops.device_aug import base_train_augment
 
         augment_fn = functools.partial(
-            base_train_augment, crop_size=crop, ignore_label=args.ignore_label)
+            base_train_augment, crop_size=crop, ignore_label=args.ignore_label,
+            return_stats=True)
     raw_step = make_base_train_step(model, loss_name, double_step=args.double_step,
                                     skip_nonfinite=args.skip_nonfinite, seed=seed,
                                     fix_bn=args.fix_bn, augment_fn=augment_fn)
@@ -163,6 +188,11 @@ def main(argv=None):
                 lr = float(lr_fn(global_it - 1)) if not args.fix_lr else args.learning_rate
                 logger.info(format_loss_dict(
                     ld, lr, gn, f"Epoch{epoch_log}/Iters{global_it} Iter{i+1}/{steps_per_epoch}:"))
+                if writer is not None:
+                    writer.add_scalars(
+                        "train",
+                        {**{k: float(v) for k, v in ld.items()},
+                         "lr": lr, "grad_norm": float(gn)}, global_it)
 
         state = state.replace(epoch=epoch_log)
         if jax.process_index() == 0 and (epoch_log % snap_freq == 0 or epoch_log >= args.num_epoch):
@@ -177,6 +207,10 @@ def main(argv=None):
                 save_params(os.path.join(args.snapshot_dir, "best.ckpt"),
                             {"params": state.params, "batch_stats": state.batch_stats})
             logger.info(f"val mIoU {miou:.4f} (best {best_miou:.4f} @ epoch {best_epoch})")
+            if writer is not None:
+                writer.add_scalar("val/mIoU", miou, global_it)
+    if writer is not None:
+        writer.close()
     return best_miou
 
 

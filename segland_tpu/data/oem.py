@@ -28,10 +28,12 @@ class OEMTrainDataset:
 
     def __init__(self, root: str, list_path: str, crop_size=(512, 512),
                  ignore_label: int = 255, seed: int = 123,
-                 device_augment: bool = False):
+                 device_augment: bool = False,
+                 device_tile_size=(1024, 1024)):
         self.root = root
         self.crop_size = tuple(crop_size)
         self.ignore_label = ignore_label
+        self.device_tile_size = tuple(device_tile_size)
         # device_augment: skip the host aug pipeline and return raw uint8
         # tiles + labels; the jitted train step fuses crop/pad/flip/rot90/
         # normalize on device (ops/device_aug.py). TPU-first path.
@@ -58,6 +60,23 @@ class OEMTrainDataset:
         image = read_image(osp.join(self.root, "images", f"{tid}.tif"))
         label = read_label(osp.join(self.root, "labels", f"{tid}.tif")).astype(np.int32)
         if self.device_augment:
+            # The jitted train step needs every batch to stack to ONE static
+            # shape (np.stack in Loader._collate; each distinct raw shape
+            # would also recompile the step, 30s-10min over the axon tunnel).
+            # Tiles below the nominal raw size are padded on host (image 0,
+            # label ignore — same semantics as A.pad); larger tiles would
+            # silently lose data to a host crop, so they are an error.
+            h, w = label.shape
+            th, tw = self.device_tile_size
+            if h > th or w > tw:
+                raise ValueError(
+                    f"tile {tid} is {(h, w)}, larger than device_tile_size "
+                    f"{(th, tw)}: --device-augment needs a uniform raw tile "
+                    "shape; raise device_tile_size or use the host aug path")
+            if h < th or w < tw:
+                image = np.pad(image, ((0, th - h), (0, tw - w), (0, 0)))
+                label = np.pad(label, ((0, th - h), (0, tw - w)),
+                               constant_values=self.ignore_label)
             return (np.ascontiguousarray(image.astype(np.uint8)),
                     np.ascontiguousarray(label), tid)
         image, label = A.crop_train(self.nprng, image, label, self.crop_size, self.ignore_label)
@@ -82,8 +101,9 @@ class OEMValDataset:
     def __init__(self, root: str, list_path: str, base_size=(1024, 1024),
                  resize_label: bool = False, use_novel: bool = True,
                  use_base: bool = True, ignore_label: int = 255,
-                 device_normalize: bool = False):
+                 device_normalize: bool = False, stats: str = "imagenet"):
         self.root = root
+        self.mean, self.std = A.STATS[stats]
         self.base_size = tuple(base_size)
         self.resize_label = resize_label
         self.use_novel = use_novel
@@ -124,7 +144,7 @@ class OEMValDataset:
     def _normalize(self, image):
         if self.device_normalize:
             return image  # raw uint8 HWC; normalization fused on device
-        return A.normalize(image, A.IMAGENET_MEAN, A.IMAGENET_STD)
+        return A.normalize(image, self.mean, self.std)
 
     def __getitem__(self, index: int):
         tid = self.ids[index]
@@ -174,7 +194,7 @@ class OEMValDataset:
                 img_paths, h, w, 3, out=self._buffer((n, h, w, 3), np.uint8))
         else:
             images = native.decode_normalize_batch(
-                img_paths, h, w, A.IMAGENET_MEAN, A.IMAGENET_STD,
+                img_paths, h, w, self.mean, self.std,
                 out=self._buffer((n, h, w, 3), np.float32))
         if images is None:
             return None

@@ -113,11 +113,17 @@ def _augment_one(key, image, label, *, crop_hw, ignore_label, mean, std,
     valid = jax.vmap(lambda o: _window_count(ii, o[0], o[1], ch, cw) > 0)(offs)
     pick = jnp.argmax(valid)  # first True, 0 if none
     oy, ox = offs[pick, 0], offs[pick, 1]
+    # fallback = every candidate window was all-ignore although the tile does
+    # contain labeled pixels (a sparse tile the bounded retry missed); the
+    # reference's unbounded retry would have kept drawing.  Surfaced per
+    # batch so degenerate tiles are observable (see base_train_augment).
+    fallback = (~valid.any()) & (ii[-1, -1] > 0)
 
     flip = jax.random.uniform(k_flip) < 0.5  # p=0.5
     k = jax.random.randint(k_rot, (), 0, 4)  # uniform {0,1,2,3}
-    return _apply_draw(image, label, crop_hw, oy, ox, flip, k, mean, std,
-                       out_dtype)
+    img_out, lab_out = _apply_draw(image, label, crop_hw, oy, ox, flip, k,
+                                   mean, std, out_dtype)
+    return img_out, lab_out, fallback
 
 
 def _augment_one_forced(image, label, crop_hw, off, flip, k,
@@ -134,11 +140,16 @@ def base_train_augment(key, images, labels, crop_size: Sequence[int],
                        ignore_label: int = IGNORE_LABEL,
                        mean: Sequence[float] = OEM_TRAIN_MEAN,
                        std: Sequence[float] = OEM_TRAIN_STD,
-                       retries: int = 8, out_dtype=jnp.float32):
+                       retries: int = 8, out_dtype=jnp.float32,
+                       return_stats: bool = False):
     """Batched on-device base-training augmentation.
 
     images: [B,H,W,3] uint8 raw tiles; labels: [B,H,W] integer.
-    Returns (images [B,ch,cw,3] normalized out_dtype, labels [B,ch,cw] int32).
+    Returns (images [B,ch,cw,3] normalized out_dtype, labels [B,ch,cw] int32);
+    with return_stats also the per-batch count of samples where every crop
+    candidate was all-ignore despite labeled pixels existing (the bounded
+    analog of the reference's unbounded crop retry giving up — wired into the
+    train step's loss dict as 'aug_fallback' so sparse tiles are observable).
     """
     ch, cw = int(crop_size[0]), int(crop_size[1])
     if ch != cw:
@@ -150,4 +161,7 @@ def base_train_augment(key, images, labels, crop_size: Sequence[int],
         mean=tuple(mean), std=tuple(std), retries=int(retries),
         out_dtype=out_dtype)
     keys = jax.random.split(key, images.shape[0])
-    return jax.vmap(fn)(keys, images, labels.astype(jnp.int32))
+    imgs, labs, fallback = jax.vmap(fn)(keys, images, labels.astype(jnp.int32))
+    if return_stats:
+        return imgs, labs, jnp.sum(fallback.astype(jnp.float32))
+    return imgs, labs

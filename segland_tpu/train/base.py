@@ -46,10 +46,15 @@ def make_base_train_step(model, loss_name: str = "orth", double_step: bool = Fal
         # (seed, step) so resume reproduces the same noise sequence.
         step_key = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
         rngs = {"dropout": step_key}
+        aug_fb = None
         if augment_fn is not None:
             # independent per-step stream for the on-device augs (fold tag 1
             # keeps the dropout stream identical to the augment_fn=None path)
-            img, mask = augment_fn(jax.random.fold_in(step_key, 1), img, mask)
+            out = augment_fn(jax.random.fold_in(step_key, 1), img, mask)
+            if len(out) == 3:  # return_stats=True: crop-retry fallback count
+                img, mask, aug_fb = out
+            else:
+                img, mask = out
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -68,6 +73,8 @@ def make_base_train_step(model, loss_name: str = "orth", double_step: bool = Fal
             return ld["total_loss"], (ld, new_state)
 
         grads, (ld, new_model_state) = jax.grad(loss_fn, has_aux=True)(state.params)
+        if aug_fb is not None:
+            ld = dict(ld, aug_fallback=aug_fb)
         grad_norm = optax.global_norm(grads)
         new_state = state.apply_gradients(
             grads=grads,

@@ -45,11 +45,19 @@ def test_train_base_cli(data_root, tmp_path_factory):
          "--val-list", str(data_root / "list" / "val.txt"), "--snapshot-dir", snap,
          "--input-size", "32,32", "--batch-size", "2", "--num-epoch", "2",
          "--learning-rate", "1e-4", "--val-start", "0", "--val-frequency", "2",
-         "--snapshot-frequency", "2"] + COMMON
+         "--snapshot-frequency", "2", "--metrics"] + COMMON
     )
     assert os.path.exists(os.path.join(snap, "epoch_2.ckpt"))
     assert os.path.exists(os.path.join(snap, "best.ckpt"))
     assert 0.0 <= best <= 1.0
+    # --metrics: the tensorboardX-analog JSONL scalar stream
+    import json
+
+    lines = [json.loads(l) for l in open(os.path.join(snap, "metrics.jsonl"))]
+    tags = {l["tag"] for l in lines}
+    assert "train/total_loss" in tags and "train/lr" in tags
+    assert "val/mIoU" in tags
+    assert all(np.isfinite(l["value"]) for l in lines)
     # stash for downstream tests
     test_train_base_cli.snap = snap
 
