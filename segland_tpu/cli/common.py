@@ -62,6 +62,12 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--random-seed", type=str, default="123")
     p.add_argument("--print-frequency", type=int, default=10)
     p.add_argument("--num-workers", type=int, default=4)  # accepted for script compat
+    p.add_argument("--norm-stats", choices=["imagenet", "train"], default="imagenet",
+                   help="val/ft normalization stats. 'imagenet' preserves the "
+                        "reference's train/val asymmetry (0.5-stats base "
+                        "training vs ImageNet-stats val/ft, dataset/oem.py:26 "
+                        "vs base_dataset.py); 'train' makes the whole "
+                        "pipeline consistent (controlled experiments)")
     p.add_argument("--fused", action="store_true",
                    help="Pallas fused LN+MLP and attention-section kernels in "
                         "transformer backbones (swin/convnext). fp32: exact "

@@ -94,7 +94,8 @@ def main(argv=None):
 
     valset = OEMValDataset(args.data_dir, args.val_list, base_size=crop,
                            use_novel=True, use_base=True,
-                           device_normalize=args.device_normalize)
+                           device_normalize=args.device_normalize,
+                           stats=args.norm_stats)
     loader = Loader(valset, batch, shuffle=False, drop_last=False, num_workers=args.num_workers)
 
     quant_cfg = None
@@ -113,10 +114,14 @@ def main(argv=None):
     for seed_str in args.random_seed.split(","):
         seed = int(seed_str)
         variables = _load_variables(args, model, crop, seed, logger)
+        from ..data import augment as A
+
+        ev_mean, ev_std = A.STATS[args.norm_stats]
         evaluator = Evaluator(model, variables, num_classes=args.num_classes,
                               n_base=n_base, ignore_label=args.ignore_label,
                               mesh=mesh if jax.device_count() > 1 else None,
                               normalize_on_device=args.device_normalize,
+                              mean=ev_mean, std=ev_std,
                               int8=args.int8, calib_batches=args.calib_batches,
                               quant_cfg=quant_cfg)
         save_path = args.save_path if args.save else None

@@ -52,11 +52,11 @@ def run_seed(args, seed, crop, base_size, logger):
     n_base, n_novel = args.base_classes, args.novel_classes
     trainset = OEMFtTrainDataset(
         args.data_dir, args.train_list, shot=args.shot, seed=seed, crop_size=crop,
-        filter=args.filter_novel,
+        filter=args.filter_novel, stats=args.norm_stats,
     )
     valset = OEMValDataset(
         args.data_dir, args.val_list, base_size=base_size, resize_label=True,
-        use_novel=True, use_base=True,
+        use_novel=True, use_base=True, stats=args.norm_stats,
     )
     train_loader = Loader(
         trainset, args.batch_size, shuffle=True, drop_last=True, seed=seed,

@@ -23,6 +23,17 @@ IMAGENET_STD = (0.229, 0.224, 0.225)
 OEM_TRAIN_MEAN = (0.5, 0.5, 0.5)  # reference dataset/oem.py:26-27
 OEM_TRAIN_STD = (0.5, 0.5, 0.5)
 
+# Named normalization-stat sets: the reference trains base models with
+# 0.5-stats but normalizes val/ft with ImageNet stats (dataset/oem.py:26-27
+# vs base_dataset.py defaults) — a deliberate asymmetry preserved by default.
+# ``--norm-stats train`` lets a consistent-stats run opt out (e.g. controlled
+# experiments on synthetic data, where the asymmetry breaks color-keyed
+# tasks a real-imagery model shrugs off).
+STATS = {
+    "imagenet": (IMAGENET_MEAN, IMAGENET_STD),
+    "train": (OEM_TRAIN_MEAN, OEM_TRAIN_STD),
+}
+
 
 def normalize(image: np.ndarray, mean: Sequence[float], std: Sequence[float]) -> np.ndarray:
     """BGR->RGB channel flip, /255, -mean, /std (base_dataset.py:29-34)."""

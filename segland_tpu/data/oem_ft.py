@@ -25,9 +25,11 @@ class OEMFtTrainDataset:
 
     def __init__(self, root: str, list_path: str, shot: int = 5, seed: int = 123,
                  crop_size=(512, 512), ignore_label: int = 255, mode: str = "train",
-                 use_base: bool = True, filter: bool = False):
+                 use_base: bool = True, filter: bool = False,
+                 stats: str = "imagenet"):
         assert mode in ("train", "val_supp")
         self.root = root
+        self.mean, self.std = A.STATS[stats]
         self.shot = shot
         self.mode = mode
         self.crop_size = tuple(crop_size)
@@ -143,8 +145,9 @@ class OEMFtTrainDataset:
         image, label = A.pad(self.crop_size, image, label, self.ignore_label)
         image, label = A.random_flip(self.rng, image, label)
         image, label = A.fixed_random_rotate(self.rng, image, label)
-        # ImageNet stats: oem_ft does NOT override mean/std (unlike oem train)
-        image = A.normalize(image, A.IMAGENET_MEAN, A.IMAGENET_STD)
+        # ImageNet stats by default: oem_ft does NOT override mean/std
+        # (unlike oem train); ``stats="train"`` opts out of the asymmetry
+        image = A.normalize(image, self.mean, self.std)
         return np.ascontiguousarray(image), np.ascontiguousarray(label)
 
     def __getitem__(self, index: int):
@@ -184,7 +187,7 @@ class OEMFtTrainDataset:
             image, new_label = A.random_rotate(
                 self.rng, image, new_label, ignore_label=self.ignore_label)
             image, new_label = A.random_flip(self.rng, image, new_label)
-            image = A.normalize(image, A.IMAGENET_MEAN, A.IMAGENET_STD)
+            image = A.normalize(image, self.mean, self.std)
             images.append(np.ascontiguousarray(image))
             labels.append(np.ascontiguousarray(new_label))
             ids.append(tid)
