@@ -181,10 +181,25 @@ class SwinBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, win_shape=None):
         """x: [B,H,W,C] NHWC (H,W static).  Stochastic depth applied to both
         residual branches when train=True (reference swintransformer.py:169,186
-        via timm DropPath, rate from the linspace decay over all blocks)."""
+        via timm DropPath, rate from the linspace decay over all blocks).
+
+        Window-resident fast path (eval serving): when ``win_shape=(b,h,w,
+        hp,wp)`` is given, ``x`` is ALREADY window-partitioned
+        ``[B*nW, ws*ws, C]`` on the padded UNSHIFTED domain and the block
+        returns the same layout.  Every op here is token-local except
+        attention, so W-MSA blocks run with ZERO layout permutes (the
+        canonical window layout IS their attention layout) and SW-MSA blocks
+        with exactly two composite windowed->windowed permutations
+        (reverse.roll.partition) — vs the spatial path's per-block
+        pad/roll/partition/reverse/unroll/unpad round trip, which chained at
+        2.7/2.6/1.8 ms per block pair at stages 0-2 (~25% of swin_pop,
+        benchmarks/swin_glue_probe.py).  Pad tokens ride through the MLP
+        (masked in attention by mask_tok) and are dropped at stage exit."""
+        if win_shape is not None:
+            return self._win_resident(x, win_shape)
         b, h, w, c = x.shape
         ws = self.window_size
         shortcut = x
@@ -267,6 +282,53 @@ class SwinBlock(nn.Module):
         return x + (dp2(y, train) if dp else y)
 
 
+    def _win_resident(self, wins, win_shape):
+        """Eval-only window-resident block body (see __call__ docstring).
+        Requires fused_attn and fused_mlp; param tree is IDENTICAL to the
+        fused spatial path (same submodule names), so checkpoints and the
+        torch converter are unaffected."""
+        from ...ops.pallas_attn import swin_attn_section_fused
+        from ...ops.pallas_mlp import fused_ln_mlp
+        from .fused import DenseParams, LNParams
+
+        b, h, w, hp, wp = win_shape
+        ws = self.window_size
+        c = self.dim
+        n = ws * ws
+        s = self.shift_size
+
+        g_ln, b_ln = LNParams(c, name="norm1")()
+        wqkv, bqkv, wproj, bproj, table = AttnParams(
+            self.dim, self.num_heads, ws, name="attn")()
+        idx = _rel_pos_index(ws).reshape(-1)
+        bias = table[idx].reshape(n, n, self.num_heads).transpose(2, 0, 1)
+        bias_dt = jnp.bfloat16 if self.dtype == jnp.bfloat16 else jnp.float32
+        bias_arr = bias[None].astype(bias_dt)
+        regions = (jnp.asarray(_shift_regions(hp, wp, ws, s))
+                   if s > 0 else None)
+        mask_tok = jnp.asarray(_pad_token_mask(h, w, hp, wp, ws, s))
+
+        if s > 0:  # canonical (unshifted) windows -> shifted windows
+            x = _window_reverse(wins, ws, b, hp, wp)
+            x = jnp.roll(x, (-s, -s), axis=(1, 2))
+            wins = _window_partition(x, ws)
+        wins = swin_attn_section_fused(
+            wins, mask_tok, g_ln, b_ln, wqkv, bqkv, wproj, bproj,
+            bias_arr, self.num_heads, eps=1e-5, regions=regions,
+            group=self.attn_group)
+
+        gamma, beta = LNParams(c, name="norm2")()
+        w1, b1 = DenseParams(c, int(c * self.mlp_ratio), name="mlp_fc1")()
+        w2, b2 = DenseParams(int(c * self.mlp_ratio), c, name="mlp_fc2")()
+        out = fused_ln_mlp(wins, gamma, beta, w1, b1, w2, b2, eps=1e-5)
+
+        if s > 0:  # back to canonical windows for the next block
+            x = _window_reverse(out, ws, b, hp, wp)
+            x = jnp.roll(x, (s, s), axis=(1, 2))
+            out = _window_partition(x, ws)
+        return out
+
+
 class PatchMerging(nn.Module):
     dim: int
     dtype: Any = jnp.float32
@@ -321,15 +383,51 @@ class SwinTransformer(nn.Module):
             dim = int(self.embed_dim * 2 ** i)
             fa = self.fused_attn and (self.fused_attn_stages is None
                                       or i in self.fused_attn_stages)
-            for j in range(depth):
-                x = SwinBlock(
-                    dim, self.num_heads[i], self.window_size,
-                    shift_size=0 if j % 2 == 0 else self.window_size // 2,
-                    drop_path=dpr[cur + j],
-                    use_pallas=self.use_pallas, fused_mlp=self.fused_mlp,
-                    fused_attn=fa,
-                    dtype=self.dtype, name=f"layers_{i}_blocks_{j}",
-                )(x, train=train)
+            # Window-resident serving (partition ONCE per stage, MLP in
+            # window layout, SW-MSA-only permutes): exact
+            # (test_swin_window_resident_eval_matches_unfused) but MEASURED
+            # SLOWER on-chip — swin-s b16 1024^2 serving 86.1 -> 67.2 t/s
+            # (benchmarks/swin_serve_ab.py).  Two causes, decomposed by
+            # benchmarks/swin_glue_probe.py: (1) the windowed->windowed
+            # composite permutation is only ~20% cheaper than the full
+            # spatial round trip (4.25 vs 5.47 ms at stage0; the ws=7
+            # strided transposes dominate, not the pad/roll bookkeeping),
+            # and (2) the MLP's (B*nW,49,C)->(m,C) collapse is
+            # sublane-misaligned (49 % 8 != 0), forcing a physical relayout
+            # per block that the spatial path's free (B,H,W,C)->(BHW,C)
+            # bitcast avoids.  Kept as an opt-in knob (SEGLAND_SWIN_WR=1,
+            # trace-time) for future layouts; default OFF.
+            import os as _os
+
+            wr = (fa and self.fused_mlp and not train
+                  and _os.environ.get("SEGLAND_SWIN_WR", "0") == "1")
+            if wr:
+                ws = self.window_size
+                bh, hh, ww = x.shape[0], x.shape[1], x.shape[2]
+                hp, wp = hh + (-hh) % ws, ww + (-ww) % ws
+                if hp != hh or wp != ww:
+                    x = jnp.pad(x, ((0, 0), (0, hp - hh), (0, wp - ww), (0, 0)))
+                wins = _window_partition(x, ws)
+                for j in range(depth):
+                    wins = SwinBlock(
+                        dim, self.num_heads[i], ws,
+                        shift_size=0 if j % 2 == 0 else ws // 2,
+                        drop_path=dpr[cur + j],
+                        use_pallas=self.use_pallas, fused_mlp=self.fused_mlp,
+                        fused_attn=fa,
+                        dtype=self.dtype, name=f"layers_{i}_blocks_{j}",
+                    )(wins, train=train, win_shape=(bh, hh, ww, hp, wp))
+                x = _window_reverse(wins, ws, bh, hp, wp)[:, :hh, :ww, :]
+            else:
+                for j in range(depth):
+                    x = SwinBlock(
+                        dim, self.num_heads[i], self.window_size,
+                        shift_size=0 if j % 2 == 0 else self.window_size // 2,
+                        drop_path=dpr[cur + j],
+                        use_pallas=self.use_pallas, fused_mlp=self.fused_mlp,
+                        fused_attn=fa,
+                        dtype=self.dtype, name=f"layers_{i}_blocks_{j}",
+                    )(x, train=train)
             cur += depth
             out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"out_norm{i}")(x)
             outs.append(out)

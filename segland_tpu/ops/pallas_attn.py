@@ -427,6 +427,10 @@ def swin_attn_section_fused(x_win, mask_tok, gamma, beta, wqkv, bqkv, wproj,
     shift-region ids for SW-MSA blocks (the pairwise mask is recomputed
     in-kernel).  Falls back to the XLA reference on non-TPU backends.
     """
+    if not interpret:
+        from .pallas_mlp import force_interpret
+
+        interpret = force_interpret()  # SEGLAND_PALLAS_INTERPRET=1 escape
     if not (interpret or jax.default_backend() == "tpu"):
         return attn_section_reference(x_win, mask_tok, gamma, beta, wqkv,
                                       bqkv, wproj, bproj, bias, num_heads,

@@ -32,11 +32,20 @@ MLP + layer-scale (networks/backbones/convnext.py:15-50).
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def force_interpret() -> bool:
+    """SEGLAND_PALLAS_INTERPRET=1 routes the fused kernels through the Pallas
+    interpreter on any backend (instead of the XLA fallback used off-TPU), so
+    CPU-mesh dryruns/tests exercise the actual kernel code paths the TPU
+    serving config runs (read at trace time — set it before jit)."""
+    return os.environ.get("SEGLAND_PALLAS_INTERPRET", "") not in ("", "0")
 
 
 def ln_mlp_reference(x, gamma, beta, w1, b1, w2, b2, res=None, ls=None,
@@ -219,6 +228,8 @@ def fused_ln_mlp(x, gamma, beta, w1, b1, w2, b2, *, res=None, ls=None,
     """
     c = x.shape[-1]
     m = math.prod(x.shape[:-1])
+    if not interpret and force_interpret():
+        interpret = True
     use_pallas = interpret or jax.default_backend() == "tpu"
     x2 = x.reshape(m, c)
     res2 = None if res is None else res.reshape(m, c)

@@ -249,6 +249,47 @@ def test_swin_block_fused_droppath_train_matches_unfused():
         assert not np.allclose(np.asarray(y0), np.asarray(y_eval))
 
 
+def test_swin_window_resident_eval_matches_unfused():
+    """The window-resident serving path (fused_attn+fused_mlp, eval:
+    partition once per stage, MLP in window layout, SW-MSA-only permutes —
+    swin.py SwinBlock._win_resident) must reproduce the unfused spatial
+    path on the CPU XLA fallback, with an identical param tree, including
+    stages where window padding is live (28x28 -> 7x7/4x4 maps).  The path
+    is an opt-in knob (measured slower on-chip, see swin.py) — enabled here
+    via SEGLAND_SWIN_WR=1, read at trace time."""
+    import os
+
+    from segland_tpu.models.backbones.swin import SwinTransformer
+
+    os.environ["SEGLAND_SWIN_WR"] = "1"
+    try:
+        _win_resident_case(SwinTransformer)
+    finally:
+        os.environ.pop("SEGLAND_SWIN_WR", None)
+
+
+def _win_resident_case(SwinTransformer):
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 28, 28, 3), jnp.float32)
+    ref_m = SwinTransformer(depths=(2, 2), num_heads=(2, 4), embed_dim=32)
+    wr_m = SwinTransformer(depths=(2, 2), num_heads=(2, 4), embed_dim=32,
+                           fused_attn=True, fused_mlp=True,
+                           fused_attn_stages=None)
+    v = ref_m.init(jax.random.PRNGKey(0), x)
+    v_wr = wr_m.init(jax.random.PRNGKey(0), x, train=False)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(v_wr))
+    # train-mode init (spatial fused path) builds the same tree too
+    v_tr = wr_m.init({"params": jax.random.PRNGKey(0),
+                      "dropout": jax.random.PRNGKey(1)}, x, train=True)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(v_tr))
+    ref = ref_m.apply(v, x, train=False)
+    outs = wr_m.apply(v, x, train=False)
+    for o, r in zip(outs, ref):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=2e-5, atol=2e-5)
+
+
 def test_swin_fused_attn_stage_gating_is_pure_dispatch():
     """fused_attn_stages gates WHERE the fused attention kernel runs, never
     WHAT is computed: the param tree is identical across gatings and (on the
