@@ -7,10 +7,15 @@ Two formats:
     reference's ``epoch_<n>.pth`` / ``best.pth`` naming with ``.ckpt``.
   * orbax (``format="orbax"`` / ``--ckpt-format orbax``) — directory-based,
     async-capable.  ``load_checkpoint`` auto-detects by path type
-    (directory -> orbax).  Note: the save here gathers to host first and is
-    called from process 0 only (cli/train_base.py), which is correct for
-    single-host (v5e-8) jobs; true multi-host orbax saves need an
-    all-process collective save and are not wired yet.
+    (directory -> orbax).
+
+Multi-host: both formats gather to host and save from process 0 only
+(cli/train_base.py), which is correct whenever the train state is fully
+replicated across processes (plain DP — the only parallelism the reference
+supports).  ``_to_host`` REFUSES arrays this process cannot fully address
+(cross-process-sharded params), so a partial checkpoint can never be written
+silently; an all-process collective orbax save is the upgrade path if
+cross-host model sharding is ever added.
 """
 
 import os
@@ -23,7 +28,24 @@ from flax import serialization
 
 
 def _to_host(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    """Gather a pytree to host numpy, refusing to write a WRONG checkpoint:
+    a multi-host array this process cannot fully address (params sharded over
+    processes) would silently serialize as a partial copy.  Fully-replicated
+    states (plain DP) remain saveable from any process.  (The reference's
+    rank-0 torch.save works multi-node only because DDP replicates,
+    train_base.py:286-292; the GSPMD analog must check addressability.)"""
+
+    def conv(x):
+        if getattr(x, "is_fully_addressable", True) is False:
+            raise NotImplementedError(
+                "checkpoint save: array is not fully addressable from this "
+                f"process (sharding {getattr(x, 'sharding', None)}); a "
+                "host-gathered save would be partial. All-process collective "
+                "saves are not wired — keep train state replicated across "
+                "hosts (DP) or save per-shard externally.")
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(conv, tree)
 
 
 def save_params(path: str, variables: dict):

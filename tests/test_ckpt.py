@@ -1,6 +1,7 @@
 """Checkpoint roundtrip + base->ft graft + torch converter unit tests."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -105,3 +106,25 @@ def test_arch_for_model_routing():
     assert arch_for("swin_pop", "swin-s") is None
     assert arch_for("convnext_pop", "convnext-t") == "convnext"
     assert arch_for(None, "hr-w32") == "hrnet"
+
+
+def test_save_refuses_partially_addressable_arrays(tmp_path):
+    """Multi-host fence (ckpt/io._to_host): an array the saving process
+    cannot fully address (params sharded across hosts) must raise instead of
+    silently writing a partial checkpoint.  Single-process arrays are always
+    fully addressable, so the hazard is reproduced with a numpy-convertible
+    stub that reports is_fully_addressable=False."""
+    from segland_tpu.ckpt.io import _to_host
+
+    class _RemoteShard:
+        is_fully_addressable = False
+        sharding = "fake-cross-host-sharding"
+
+        def __array__(self, dtype=None):  # pragma: no cover - must not be hit
+            raise AssertionError("partial array was gathered anyway")
+
+    with pytest.raises(NotImplementedError, match="fully addressable"):
+        _to_host({"params": {"w": _RemoteShard()}})
+    # plain/jax arrays still pass through
+    out = _to_host({"a": np.arange(3), "b": jnp.ones((2,))})
+    assert isinstance(out["a"], np.ndarray) and isinstance(out["b"], np.ndarray)

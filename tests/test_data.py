@@ -321,3 +321,63 @@ def test_ft_filter_novel(data_root):
     n_f = sum(len(v) for v in ds.base_cls_to_ids.values())
     n_0 = sum(len(v) for v in ds0.base_cls_to_ids.values())
     assert n_f <= n_0
+
+
+class _IndexDataset:
+    """Dataset yielding its own index: batch contents are observable."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return np.full((2, 2), i, np.int32), np.int32(i), f"id{i}"
+
+
+def test_loader_process_sharding_two_ranks():
+    """DistributedSampler analog (reference engine.py:83-88): two processes
+    with a global batch must each load a DISJOINT contiguous half of every
+    batch, the union must cover exactly the global batches, and the
+    epoch-seeded shuffle must agree across ranks."""
+    n, global_batch = 10, 4
+    ds = _IndexDataset(n)
+
+    def batches(rank, world, epoch):
+        ld = Loader(ds, global_batch, shuffle=True, drop_last=True, seed=7,
+                    process_index=rank, process_count=world)
+        ld.set_epoch(epoch)
+        return [tuple(ids) for _, _, ids in ld]
+
+    for epoch in (0, 1):
+        r0 = batches(0, 2, epoch)
+        r1 = batches(1, 2, epoch)
+        single = batches(0, 1, epoch)
+        assert len(r0) == len(r1) == len(single) == n // global_batch
+        for b0, b1, full in zip(r0, r1, single):
+            assert len(b0) == len(b1) == global_batch // 2
+            assert not set(b0) & set(b1), "rank shards overlap"
+            # contiguous-shard order: rank0 gets the first half, rank1 the
+            # second, of the SAME epoch-shuffled global batch
+            assert b0 + b1 == full
+    # different epochs see different shuffles (set_epoch works)
+    assert batches(0, 2, 0) != batches(0, 2, 1)
+    # a global batch not divisible by process_count is a config error
+    with pytest.raises(ValueError):
+        Loader(ds, 3, process_index=0, process_count=2)
+
+
+def test_loader_sharded_samples_match_unsharded():
+    """The actual ARRAYS each rank collates are the rows the single-process
+    loader would put at that rank's offset in the global batch."""
+    ds = _IndexDataset(8)
+    full = list(Loader(ds, 4, shuffle=False, drop_last=True,
+                       process_index=0, process_count=1))
+    for rank in (0, 1):
+        part = list(Loader(ds, 4, shuffle=False, drop_last=True,
+                           process_index=rank, process_count=2))
+        for (fi, fl, _), (pi, pl, _) in zip(full, part):
+            lo = rank * 2
+            np.testing.assert_array_equal(pi, fi[lo:lo + 2])
+            np.testing.assert_array_equal(pl, fl[lo:lo + 2])
