@@ -87,7 +87,10 @@ def main():
             variables = replicate(mesh, variables)
         return model, variables
 
-    # flagship: bf16 + fused kernels + commuted decoder (the parity path)
+    # flagship: bf16 + fused kernels + commuted decoder. Weights are random
+    # init — throughput is weight-independent; accuracy parity for this exact
+    # configuration is established separately by the test suite
+    # (test_parity_convnext*, test_fused_vs_xla argmax-identity).
     model, variables = prep(MODEL, BACKBONE, fused_mlp=True)
     ev = Evaluator(model, variables, mesh=mesh, normalize_on_device=True)
     dt = measure(ev, staged, probe)
