@@ -99,6 +99,9 @@ def main():
         stage("enc3   256^2  128->256x3  ", 256, 256, [(128, 256), (256, 256), (256, 256)])
         stage("enc4   128^2  256->512x3  ", 128, 128, [(256, 512), (512, 512), (512, 512)])
         stage("enc5    64^2  512x3       ", 64, 64, [(512, 512), (512, 512), (512, 512)])
+    elif which == "enc45":
+        stage("enc4   128^2  256->512x3  ", 128, 128, [(256, 512), (512, 512), (512, 512)])
+        stage("enc5    64^2  512x3       ", 64, 64, [(512, 512), (512, 512), (512, 512)])
     elif which == "dec":
         stage("up1dc  128^2 1024->512->256", 128, 128, [(1024, 512), (512, 256)])
         stage("up2dc  256^2  512->256->128", 256, 256, [(512, 256), (256, 128)])

@@ -52,6 +52,21 @@ def _bn_fold_packed(parent, xp, c, k, name, dtype):
         + jnp.tile(bias - mean * s, k).astype(xp.dtype)
 
 
+def _bn_batch_packed(parent, xp, c, k, name):
+    """Train-mode BatchNorm on packed activations: per-channel batch stats
+    reduce identically over the packed layout (the k slots are disjoint
+    W-pixel subsets of the same channels), normalization + momentum
+    running-stat update follow flax nn.BatchNorm exactly (BNParams
+    batch_update — same machinery as hrnet.py _packed_cb)."""
+    yf = xp.astype(jnp.promote_types(xp.dtype, jnp.float32)).reshape(-1, k, c)
+    bm = jnp.mean(yf, axis=(0, 1))
+    bv = jnp.maximum(jnp.mean(yf * yf, axis=(0, 1)) - bm * bm, 0.0)
+    scale, bias, _, _ = BNParams(c, name=name, parent=parent)((bm, bv))
+    s = scale / jnp.sqrt(bv + 1e-5)
+    return xp * jnp.tile(s, k).astype(xp.dtype) \
+        + jnp.tile(bias - bm * s, k).astype(xp.dtype)
+
+
 def _conv_apply(x, w, b, *, dil=1, groups=1, dtype=jnp.float32):
     """nn.Conv-equivalent SAME-padded stride-1 conv from raw params."""
     kh = w.shape[0]
@@ -160,6 +175,9 @@ class LSKStageBlock(nn.Module):
     drop: float = 0.1
     drop_path: float = 0.0
     packed: bool = True
+    # Train-mode packing of the block glue (BN/residual/layer-scale) on the
+    # C<128 stages; default set by measurement (BASELINE.md round 3).
+    packed_train: bool = False
     dtype: Any = jnp.float32
 
     def _mlp_hidden(self, h, wf1, bf1, wdw, bdw, hidden, dt):
@@ -222,6 +240,27 @@ class LSKStageBlock(nn.Module):
         dp = self.drop_path > 0.0 and train
         dp1 = DropPath(self.drop_path, name="drop_path1")
         dp2 = DropPath(self.drop_path, name="drop_path2")
+        if k > 1 and train and self.packed_train and x.shape[2] % k == 0:
+            # packed TRAIN block: batch-stat BNs, residuals and layer-scales
+            # at full lane density (BNParams batch_update keeps flax
+            # running-stat semantics); dropout/droppath draw on the packed
+            # layout (a bijective reshape — per-element iid / per-sample
+            # masks are distribution-identical).  MLP + attention interiors
+            # unchanged (attention packs internally; MLP is >=128-channel).
+            xp = pk.pack(x.astype(dt), k)
+            hn = _bn_batch_packed(self, xp, d, k, "norm1")
+            ha = attn(pk.unpack(hn, k))
+            h = pk.pack(ha, k) * jnp.tile(ls1.astype(dt), k)
+            xp = xp + (dp1(h, train) if dp else h)
+            hn = _bn_batch_packed(self, xp, d, k, "norm2")
+            hu = self._mlp_hidden(pk.unpack(hn, k), wf1, bf1, wdw, bdw, hidden, dt)
+            hu = nn.gelu(hu, approximate=approx_gelu)
+            hu = nn.Dropout(self.drop, deterministic=not train, name="mlp_drop1")(hu)
+            h2 = pk.pack(_conv_apply(hu, wf2, bf2, dtype=dt), k)
+            h2 = nn.Dropout(self.drop, deterministic=not train, name="mlp_drop2")(h2)
+            h2 = h2 * jnp.tile(ls2.astype(dt), k)
+            xp = xp + (dp2(h2, train) if dp else h2)
+            return pk.unpack(xp, k)
         h = _bn(train, dt, "norm1")(x)
         h = attn(h)
         # cast the fp32 layer-scale params: a bare `ls * h` promotes every
@@ -245,6 +284,7 @@ class LSKNet(nn.Module):
     drop_rate: float = 0.1
     drop_path_rate: float = 0.1  # reference lsknet.py:201 (lsknet_tiny)
     packed: bool = True
+    packed_train: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -260,6 +300,7 @@ class LSKNet(nn.Module):
             for j in range(self.depths[i]):
                 x = LSKStageBlock(self.embed_dims[i], self.mlp_ratios[i], self.drop_rate,
                                   drop_path=dpr[cur + j], packed=self.packed,
+                                  packed_train=self.packed_train,
                                   dtype=self.dtype, name=f"block{i+1}_{j}")(x, train)
             cur += self.depths[i]
             x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=f"norm{i+1}")(x)

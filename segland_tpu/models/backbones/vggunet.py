@@ -35,15 +35,32 @@ def _bn_fold(scale, bias, mean, var):
     return s, bias.astype(jnp.float32) - mean.astype(jnp.float32) * s
 
 
-def _packed_cbr(parent, xp, cin, cout, name, k, dtype):
-    """conv3x3(+bias) + eval-folded BN + relu on W-packed activations.
+def _packed_cbr(parent, xp, cin, cout, name, k, dtype, train=False):
+    """conv3x3(+bias) + BN + relu on W-packed activations.
 
     Identical variable tree to _cbr (ConvParams/BNParams mirror nn.Conv /
     nn.BatchNorm names), so checkpoints and the .pth converter are
     unaffected.  Exact in fp32 (band-conv off-block weights are hard
-    zeros); bf16 deltas are 1-ulp class (ops/packed.py docstring)."""
+    zeros); bf16 deltas are 1-ulp class (ops/packed.py docstring).
+
+    train=True: per-channel batch stats from the packed layout — the k tile
+    groups are disjoint W-pixel subsets of the same channels, so reducing
+    over (B,H,Wp) x k equals the unpacked reduction; normalization and the
+    momentum running-stat update follow flax nn.BatchNorm semantics exactly
+    (same machinery as hrnet.py _packed_cb / BNParams batch_update)."""
     w, b = ConvParams((3, 3), cin, cout, use_bias=True,
                       name=f"{name}_conv", parent=parent)()
+    if train:
+        y = pk.conv_packed(xp, w.astype(dtype), jnp.tile(b.astype(dtype), k), 1, k)
+        yf = y.astype(jnp.promote_types(y.dtype, jnp.float32)).reshape(-1, k, cout)
+        bm = jnp.mean(yf, axis=(0, 1))
+        bv = jnp.maximum(jnp.mean(yf * yf, axis=(0, 1)) - bm * bm, 0.0)
+        scale, bias, _, _ = BNParams(cout, name=f"{name}_bn",
+                                     parent=parent)((bm, bv))
+        s = scale / jnp.sqrt(bv + 1e-5)
+        ab = bias - bm * s
+        return nn.relu(y * jnp.tile(s, k).astype(y.dtype)
+                       + jnp.tile(ab, k).astype(y.dtype))
     s, ab = _bn_fold(*BNParams(cout, name=f"{name}_bn", parent=parent)())
     wf = (w.astype(jnp.float32) * s[None, None, None]).astype(dtype)
     bf = (b.astype(jnp.float32) * s + ab).astype(dtype)
@@ -59,11 +76,16 @@ class VGGUNet(nn.Module):
     # MXU convs (ops/packed.py; measured on-chip: enc1 5.04 -> 4.14 ms at
     # b2 1024^2, model 59.1 -> 58.2 ms — benchmarks/vgg_packed_probe.py).
     packed: bool = True
+    # Train-mode W-packing of the enc1 chain (same BNParams batch_update
+    # machinery as HRNet packed_train; exact batch stats / grads).  Default
+    # set by measurement — see BASELINE.md round-3 train-packing table.
+    packed_train: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.dtype
-        use_packed = self.packed and not train and x.shape[2] % 2 == 0
+        use_packed = (self.packed and (not train or self.packed_train)
+                      and x.shape[2] % 2 == 0)
 
         def block(x, feats, n_convs, name):
             """VGG block; returns (pre-ReLU snapshot, post-ReLU output)."""
@@ -76,8 +98,8 @@ class VGGUNet(nn.Module):
         # them before the Up stages run), pre-ReLU for x5 (see module doc)
         if use_packed:
             xp = pk.pack(x.astype(dt), 2)
-            xp = _packed_cbr(self, xp, 3, 64, "enc1_0", 2, dt)
-            xp = _packed_cbr(self, xp, 64, 64, "enc1_1", 2, dt)
+            xp = _packed_cbr(self, xp, 3, 64, "enc1_0", 2, dt, train=train)
+            xp = _packed_cbr(self, xp, 64, 64, "enc1_1", 2, dt, train=train)
             x1 = pk.unpack(xp, 2)
         else:
             _, x1 = block(x, 64, 2, "enc1")
