@@ -26,7 +26,7 @@ _POP_CONFIGS = {
 def build_model(model: str, backbone: str | None = None, n_base: int = 7,
                 n_novel: int = 0, is_ft: bool = False, os: int = 8,
                 dilated: bool = True, dtype=jnp.float32, fused_mlp: bool = False,
-                fused_attn: bool = False):
+                fused_attn: bool = False, packed_train=None):
     if model == "pspnet":
         return PlainPSPNet(
             backbone_name=backbone or "resnet50", n_base=n_base, n_novel=n_novel,
@@ -38,7 +38,8 @@ def build_model(model: str, backbone: str | None = None, n_base: int = 7,
     return GFSSModel(
         backbone_name=backbone or default_bk, decoder_name=decoder,
         n_base=n_base, n_novel=n_novel, is_ft=is_ft, os=os, dilated=dilated,
-        fused_mlp=fused_mlp, fused_attn=fused_attn, dtype=dtype,
+        fused_mlp=fused_mlp, fused_attn=fused_attn, packed_train=packed_train,
+        dtype=dtype,
     )
 
 

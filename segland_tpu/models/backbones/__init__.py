@@ -42,7 +42,7 @@ def get_backbone(name: str, dtype=jnp.float32, fused_mlp: bool = False,
     if name == "vgg16bn-unet":
         from . import vggunet
 
-        return vggunet.VGGUNet(dtype=dtype)
+        return vggunet.VGGUNet(dtype=dtype, **kw)
     raise ValueError(f"unknown backbone: {name}")
 
 

@@ -308,5 +308,6 @@ class LSKNet(nn.Module):
         return outs  # fine->coarse
 
 
-def lsknet_tiny(dtype=jnp.float32, packed: bool = True):
-    return LSKNet(dtype=dtype, packed=packed)
+def lsknet_tiny(dtype=jnp.float32, packed: bool = True,
+                packed_train: bool = False):
+    return LSKNet(dtype=dtype, packed=packed, packed_train=packed_train)

@@ -67,6 +67,9 @@ class GFSSModel(nn.Module):
     dilated: bool = True
     fused_mlp: bool = False   # Pallas LN+MLP kernel in swin/convnext backbones
     fused_attn: bool = False  # Pallas attention-section kernel in swin backbones
+    # Train-mode W-packing override for hrnet/lsknet/vggunet backbones
+    # (None = each backbone's measured default; see BASELINE.md round 3).
+    packed_train: Any = None
     dtype: Any = jnp.float32
 
     @property
@@ -96,6 +99,10 @@ class GFSSModel(nn.Module):
         bk = {}
         if self.backbone_name.startswith("resnet"):
             bk = dict(os=self.os, dilated=self.dilated)
+        elif self.packed_train is not None and (
+                self.backbone_name.startswith("hr-")
+                or self.backbone_name in ("lsk-t", "vgg16bn-unet")):
+            bk["packed_train"] = self.packed_train
         self.backbone = get_backbone(self.backbone_name, dtype=self.dtype,
                                      fused_mlp=self.fused_mlp,
                                      fused_attn=self.fused_attn, **bk)
