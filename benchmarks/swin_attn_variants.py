@@ -13,6 +13,7 @@ ops/pallas_attn._attn_section_kernel to find where the time sits:
 Usage: python benchmarks/swin_attn_variants.py [stage0|stage1|stage2] [batch]
 """
 import functools
+import os
 import sys
 import time
 
@@ -24,6 +25,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 sys.path.insert(0, "/root/repo")
+_cache = os.path.expanduser("~/.cache/segland_tpu/jax")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 from segland_tpu.models.backbones.swin import (_rel_pos_index, _shift_regions,
                                                _pad_token_mask)
 
@@ -65,6 +70,11 @@ def _kernel(x_ref, mask_ref, region_ref, gamma_ref, beta_ref, wqkv_ref,
         pair = r - r.reshape(r.shape[0], 1, n)
         shift_pen = jnp.where(pair != 0.0, -100.0, 0.0)
 
+    if ablate == "io":
+        # LN + residual + read/write only: the io/grid-overhead floor
+        out_ref[:] = x_ref[:] + y
+        return
+
     ctxs = []
     acc = jnp.zeros((wblk * n, c), jnp.float32)
     for h in range(num_heads):
@@ -87,6 +97,15 @@ def _kernel(x_ref, mask_ref, region_ref, gamma_ref, beta_ref, wqkv_ref,
                 attn = attn + shift_pen
             if ablate == "softmax":
                 attn = attn * 0.001
+            elif ablate == "nomax":
+                # skip the max-subtraction: scores are bounded post-LN;
+                # measures the max-reduce + broadcast-subtract share
+                attn = jnp.exp(attn)
+                attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
+            elif ablate == "bf16sm":
+                attn = attn - jnp.max(attn, axis=-1, keepdims=True)
+                attn = jnp.exp(attn.astype(jnp.bfloat16))
+                attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
             else:
                 attn = attn - jnp.max(attn, axis=-1, keepdims=True)
                 attn = jnp.exp(attn)
@@ -252,7 +271,9 @@ def main():
                            ablate=ablate)
         return op
 
+    print(f"[{time.strftime('%H:%M:%S')}] compiling baseline chain...", flush=True)
     base = chain_time(lambda a: a[..., :1, :1], wins)
+    print(f"[{time.strftime('%H:%M:%S')}] baseline {base:.3f} ms/link", flush=True)
     variants = [
         ("current  wblk=32 fp32-scores", 32, jnp.float32, "none"),
         ("bf16 scores       wblk=32   ", 32, DT, "none"),
@@ -263,9 +284,20 @@ def main():
         ("ablate LN       wblk=32 bf16 ", 32, DT, "ln"),
         ("ablate attn-core wblk=32     ", 32, DT, "attn"),
         ("proj1 assembled wblk=32 bf16 ", 32, DT, "proj1"),
+        ("io-floor  wblk=32            ", 32, DT, "io"),        # v9
+        ("io-floor  wblk=16            ", 16, DT, "io"),        # v10: grid slope
+        ("io-floor  wblk=8             ", 8, DT, "io"),         # v11
+        ("wblk=16  fp32 (grid slope)   ", 16, jnp.float32, "none"),  # v12
+        ("softmax no-max  wblk=32      ", 32, jnp.float32, "nomax"),  # v13
+        ("softmax bf16exp wblk=32      ", 32, jnp.float32, "bf16sm"),  # v14
     ]
-    for name, wblk, sdt, ab in variants:
+    only = sys.argv[3] if len(sys.argv) > 3 else None
+    for vi, (name, wblk, sdt, ab) in enumerate(variants):
+        if only is not None and str(vi) not in only.split(","):
+            continue
         try:
+            print(f"[{time.strftime('%H:%M:%S')}] compiling v{vi} {name.strip()}...",
+                  flush=True)
             ms = chain_time(pair(wblk, sdt, ab), wins) - base
             print(f"{stage} b{batch} {name}: {ms:7.3f} ms", flush=True)
         except Exception as e:  # noqa: BLE001

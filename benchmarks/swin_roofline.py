@@ -15,6 +15,7 @@ sustained) — the gap to it is the roofline statement.
 
 Usage: python benchmarks/swin_roofline.py [batch]
 """
+import os
 import sys
 import time
 
@@ -24,6 +25,10 @@ import jax.numpy as jnp
 from jax import lax
 
 sys.path.insert(0, "/root/repo")
+_cache = os.path.expanduser("~/.cache/segland_tpu/jax")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 from segland_tpu.ops.pallas_attn import swin_attn_section_fused
 from segland_tpu.ops.pallas_mlp import fused_ln_mlp

@@ -21,9 +21,10 @@ probe = jax.jit(lambda t: jax.tree_util.tree_leaves(t)[0].astype(jnp.float32).su
 
 
 def bench_base(model_name, backbone, batch, size=768, iters=6, dtype=jnp.bfloat16,
-               fused=False):
+               fused=False, packed_train=None):
     model = build_model(model_name, backbone=backbone, n_base=7, dtype=dtype,
-                        fused_mlp=fused, fused_attn=fused)
+                        fused_mlp=fused, fused_attn=fused,
+                        packed_train=packed_train)
     img = jax.random.normal(jax.random.PRNGKey(1), (batch, size, size, 3), jnp.float32)
     mask = jax.random.randint(jax.random.PRNGKey(2), (batch, size, size), 0, 8)
     variables = jax.jit(lambda k, x: model.init({"params": k, "dropout": k}, x, train=True))(
@@ -45,7 +46,8 @@ def bench_base(model_name, backbone, batch, size=768, iters=6, dtype=jnp.bfloat1
         state = step(state, img, mask)
     float(probe(state.params))
     dt = (time.time() - t0) / iters
-    print(f"base {model_name}/{backbone} b{batch} {size}^2 fused={fused}: "
+    print(f"base {model_name}/{backbone} b{batch} {size}^2 fused={fused} "
+          f"packed_train={packed_train}: "
           f"{dt*1000:.1f} ms/step {batch/dt:.1f} crops/s", flush=True)
 
 
@@ -93,3 +95,11 @@ if __name__ == "__main__":
         bench_base("swin_pop", "swin-s", 4)
     if which in ("all", "ft"):
         bench_ft()
+    if which == "packed":
+        # packed_train A/B for lsknet + vggunet (VERDICT r3 item 4): the
+        # round-3 mini-run wired the knob with defaults=False citing a
+        # BASELINE table that didn't exist — this produces it for real.
+        bench_base("lsk_pop", "lsk-t", 8, packed_train=False)
+        bench_base("lsk_pop", "lsk-t", 8, packed_train=True)
+        bench_base("vggunet_pop", "vgg16bn-unet", 4, packed_train=False)
+        bench_base("vggunet_pop", "vgg16bn-unet", 4, packed_train=True)
