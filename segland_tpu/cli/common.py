@@ -82,6 +82,13 @@ def add_common_args(p: argparse.ArgumentParser):
                         "and falls back to per-conv int8 otherwise)")
     p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"],
                    help="backbone/decoder compute dtype (POP head always fp32)")
+    p.add_argument("--packed-train", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="override train-mode W-packing in hrnet/lsknet/"
+                        "vggunet backbones (default: each backbone's "
+                        "measured default, BASELINE.md train-packing "
+                        "tables). Errors on backbones without a packed "
+                        "path (resnet/swin/convnext)")
     return p
 
 

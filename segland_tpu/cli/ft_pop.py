@@ -69,6 +69,7 @@ def run_seed(args, seed, crop, base_size, logger):
         args.model, backbone=args.backbone, n_base=n_base, n_novel=n_novel,
         is_ft=True, os=args.output_stride, dtype=model_dtype(args),
         fused_mlp=args.fused, fused_attn=args.fused,
+        packed_train=args.packed_train,
     )
     img0 = jnp.zeros((2,) + crop + (3,), jnp.float32)
     variables = jax.jit(lambda k, x: model.init(k, x, train=False))(jax.random.PRNGKey(seed), img0)

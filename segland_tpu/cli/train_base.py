@@ -97,6 +97,7 @@ def main(argv=None):
         args.model, backbone=args.backbone, n_base=n_base, os=args.output_stride,
         dtype=model_dtype(args),
         fused_mlp=args.fused, fused_attn=args.fused,
+        packed_train=args.packed_train,
     )
     loss_name = "orth" if "pop" in args.model else "ce"
 

@@ -28,6 +28,10 @@ def build_model(model: str, backbone: str | None = None, n_base: int = 7,
                 dilated: bool = True, dtype=jnp.float32, fused_mlp: bool = False,
                 fused_attn: bool = False, packed_train=None):
     if model == "pspnet":
+        if packed_train is not None:
+            raise ValueError("packed_train is not supported by the plain "
+                             "pspnet model (resnet backbones have no packed "
+                             "path)")
         return PlainPSPNet(
             backbone_name=backbone or "resnet50", n_base=n_base, n_novel=n_novel,
             is_ft=is_ft, os=os, dilated=dilated, dtype=dtype,

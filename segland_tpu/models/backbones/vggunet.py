@@ -51,7 +51,8 @@ def _packed_cbr(parent, xp, cin, cout, name, k, dtype, train=False):
     w, b = ConvParams((3, 3), cin, cout, use_bias=True,
                       name=f"{name}_conv", parent=parent)()
     if train:
-        y = pk.conv_packed(xp, w.astype(dtype), jnp.tile(b.astype(dtype), k), 1, k)
+        # conv_packed tiles the (Co,) bias itself — do not pre-tile
+        y = pk.conv_packed(xp, w.astype(dtype), b.astype(dtype), 1, k)
         yf = y.astype(jnp.promote_types(y.dtype, jnp.float32)).reshape(-1, k, cout)
         bm = jnp.mean(yf, axis=(0, 1))
         bv = jnp.maximum(jnp.mean(yf * yf, axis=(0, 1)) - bm * bm, 0.0)

@@ -99,10 +99,16 @@ class GFSSModel(nn.Module):
         bk = {}
         if self.backbone_name.startswith("resnet"):
             bk = dict(os=self.os, dilated=self.dilated)
-        elif self.packed_train is not None and (
-                self.backbone_name.startswith("hr-")
-                or self.backbone_name in ("lsk-t", "vgg16bn-unet")):
-            bk["packed_train"] = self.packed_train
+        elif self.backbone_name.startswith("hr-") or self.backbone_name in (
+                "lsk-t", "vgg16bn-unet"):
+            if self.packed_train is not None:
+                bk["packed_train"] = self.packed_train
+        if self.packed_train is not None and "packed_train" not in bk:
+            # fail loudly: an A/B of the knob on resnet/swin/convnext would
+            # otherwise be a silent no-op (advisor r3)
+            raise ValueError(
+                f"packed_train is only supported by hrnet/lsknet/vggunet "
+                f"backbones, not {self.backbone_name!r}")
         self.backbone = get_backbone(self.backbone_name, dtype=self.dtype,
                                      fused_mlp=self.fused_mlp,
                                      fused_attn=self.fused_attn, **bk)

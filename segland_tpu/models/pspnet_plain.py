@@ -28,7 +28,11 @@ class PlainPSPNet(nn.Module):
     d_model: int = 512
 
     def setup(self):
-        self.backbone = get_backbone(self.backbone_name, dtype=self.dtype, os=self.os, dilated=self.dilated)
+        # os/dilated are resnet-only knobs; forwarding them to other families
+        # would TypeError in their constructors (advisor r3)
+        bk = (dict(os=self.os, dilated=self.dilated)
+              if self.backbone_name.startswith("resnet") else {})
+        self.backbone = get_backbone(self.backbone_name, dtype=self.dtype, **bk)
         self.decoder = PSPModule(self.d_model, dtype=self.dtype, name="decoder")
         self.classifier = nn.Conv(1 + self.n_base, (1, 1), use_bias=False,
                                   kernel_init=_torch_conv_init, dtype=self.dtype, name="classifier")

@@ -57,3 +57,32 @@ def test_pop_heads_all_backbones(model, backbone, size, feat_stride):
     variables = m_ft.init(jax.random.PRNGKey(0), img, train=False)
     out = m_ft.apply(variables, img, train=False)
     assert out.shape == (1, size // feat_stride, size // feat_stride, 12)
+
+
+@pytest.mark.parametrize("name,kw", [
+    ("vgg16bn-unet", {}),
+    ("lsk-t", {}),
+    ("hr-w18", {}),
+])
+def test_packed_train_forward_matches_unpacked(name, kw):
+    """packed_train=True must run AND match the unpacked train forward in
+    fp32 (the band-conv off-block weights are hard zeros; batch stats reduce
+    identically over the packed layout).  Regression: the vggunet packed
+    train path double-tiled the conv bias and crashed at init (round 4).
+
+    Tolerance: per-layer packed-vs-unpacked deltas are ~1e-6 fp32 (measured:
+    conv exact, batch mean/var 1.3e-7, folded-affine form 1e-6), but the
+    fast-variance cancellation (E[y^2]-E[y]^2) re-amplifies them at every
+    BN, so deep nets carry ~1e-3-class output deltas (vggunet: 18 conv+BN
+    layers after the packed enc1)."""
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 3), jnp.float32)
+    outs = {}
+    for pt in (False, True):
+        bk = get_backbone(name, packed_train=pt, **kw)
+        rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+        v = bk.init(rngs, x, train=True)
+        y, _ = bk.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)},
+                        mutable=["batch_stats"])
+        outs[pt] = [np.asarray(o, np.float32) for o in jax.tree_util.tree_leaves(y)]
+    for a, b in zip(outs[False], outs[True]):
+        np.testing.assert_allclose(a, b, rtol=0, atol=3e-3)
