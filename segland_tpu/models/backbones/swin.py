@@ -178,6 +178,9 @@ class SwinBlock(nn.Module):
     # the 128-lane MXU tile — into full-tile matmuls at group-x the (small)
     # score/ctx FLOPs.
     attn_group: int = 1
+    # Head-group size for the round-4 v2 fused attention kernel (None =
+    # measured default per num_heads; ops/pallas_attn._v2_hg_default)
+    attn_hg: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -235,7 +238,8 @@ class SwinBlock(nn.Module):
             wins = swin_attn_section_fused(
                 wins, mask_tok, g_ln, b_ln, wqkv, bqkv, wproj, bproj,
                 bias_arr, self.num_heads, eps=1e-5, regions=regions,
-                group=self.attn_group)
+                group=self.attn_group,
+                geom=(h, w, hp, wp, ws, self.shift_size), hg=self.attn_hg)
             x = _window_reverse(wins, ws, b, hp, wp)
             if self.shift_size > 0:
                 x = jnp.roll(x, (self.shift_size, self.shift_size), axis=(1, 2))
@@ -315,7 +319,8 @@ class SwinBlock(nn.Module):
         wins = swin_attn_section_fused(
             wins, mask_tok, g_ln, b_ln, wqkv, bqkv, wproj, bproj,
             bias_arr, self.num_heads, eps=1e-5, regions=regions,
-            group=self.attn_group)
+            group=self.attn_group,
+            geom=(h, w, hp, wp, ws, s), hg=self.attn_hg)
 
         gamma, beta = LNParams(c, name="norm2")()
         w1, b1 = DenseParams(c, int(c * self.mlp_ratio), name="mlp_fc1")()

@@ -344,6 +344,221 @@ def _attn_section_pallas(x_win, mask_tok, regions, gamma, beta, wqkv, bqkv,
     return out[:, :n_real, :] if n_real != n_orig else out
 
 
+def _attn_section_v2_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref,
+                            wproj_ref, bproj_ref, bias_ref, out_ref, *,
+                            num_heads, head_dim, hg, eps, wblk, geom,
+                            score_f32=True):
+    """Round-4 attention-section kernel (benchmarks/swin_attn_hg.py).
+
+    Two changes vs _attn_section_kernel, both from the round-4 roofline:
+
+    1. Index-math masks.  The v1 kernel shipped the pad-token mask and
+       SW-MSA region ids as [NW, N, 1] arrays; TPU tiling pads the trailing
+       1 to 128 lanes, so they were the DOMINANT HBM traffic of the whole
+       section (measured io-floor 11.1 ms/pair at stage 0 vs a ~1.3 ms
+       x-only bound).  Both are pure functions of the window index
+       (reference swintransformer.py:333-340 pad, :360-374 regions), so
+       they are recomputed here from program_id + iota: zero HBM bytes.
+
+    2. Head-grouping (hg).  K/V for hg consecutive heads are lane-packed
+       into block-diagonal [hg*N, hg*hd] operands, turning the per-head
+       N=49/hd=32 score/ctx dots — far below the 128-lane MXU tile — into
+       hg-x fewer, full-lane dots, and the softmax into a single full-lane
+       exp.  The zero blocks make each head's contraction exact; the
+       softmax max/sum stay per-head via static lane slices.  The
+       denominator folds into a post-ctx [N, hg*hd] scale.
+    """
+    h, w, hp, wp, ws, shift, n_real = geom
+    blk_i = pl.program_id(0)
+    _, n, c = x_ref.shape
+    hd = head_dim
+    scale = hd ** -0.5
+    cdt = x_ref.dtype
+    wn = wp // ws  # windows per image row (batch folds into leading dim)
+
+    win = (blk_i * wblk + lax.broadcasted_iota(jnp.int32, (wblk, n), 0))
+    tok = lax.broadcasted_iota(jnp.int32, (wblk, n), 1)
+    wr = (win // wn) % (hp // ws)
+    wc = win % wn
+    grh = wr * ws + tok // ws   # rolled coords (roll by -shift done outside)
+    gwc = wc * ws + tok % ws
+    oh = grh + shift            # un-roll for the valid-token test
+    oh = jnp.where(oh >= hp, oh - hp, oh)
+    ow = gwc + shift
+    ow = jnp.where(ow >= wp, ow - wp, ow)
+    mask = ((tok < n_real) & (oh < h) & (ow < w)).astype(jnp.float32)[..., None]
+
+    x = x_ref[:].astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(x * x, axis=-1, keepdims=True) - mu * mu, 0.0)
+    y = (x - mu) * lax.rsqrt(var + eps)
+    y = y * gamma_ref[0].astype(jnp.float32) + beta_ref[0].astype(jnp.float32)
+    y = (y * mask).astype(cdt)  # pad-AFTER-norm (swintransformer.py:333-340)
+
+    qkv = lax.dot_general(
+        y.reshape(wblk * n, c), wqkv_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(cdt) + bqkv_ref[0].astype(cdt)
+    qkv = qkv.reshape(wblk, n, 3 * c)
+
+    if shift > 0:
+        rh = ((grh >= hp - ws).astype(jnp.int32)
+              + (grh >= hp - shift).astype(jnp.int32))
+        rc = ((gwc >= wp - ws).astype(jnp.int32)
+              + (gwc >= wp - shift).astype(jnp.int32))
+        rid = (3 * rh + rc).astype(jnp.float32)
+        pair = rid[..., None] - rid.reshape(wblk, 1, n)
+        pen = jnp.where(pair != 0.0, -100.0, 0.0)
+        pen_g = jnp.concatenate([pen] * hg, axis=-1)   # [wblk, n, hg*n]
+
+    sdt = jnp.float32 if score_f32 else cdt
+    acc = jnp.zeros((wblk * n, c), jnp.float32)
+    for gi in range(num_heads // hg):
+        g0 = gi * hg
+        qg = qkv[:, :, g0 * hd:(g0 + hg) * hd].astype(sdt) * jnp.asarray(scale, sdt)
+        kg = qkv[:, :, c + g0 * hd: c + (g0 + hg) * hd].astype(sdt)
+        vg = qkv[:, :, 2 * c + g0 * hd: 2 * c + (g0 + hg) * hd]
+        kpad = jnp.concatenate(
+            [jnp.pad(kg[:, :, i * hd:(i + 1) * hd],
+                     ((0, 0), (0, 0), (i * hd, (hg - 1 - i) * hd)))
+             for i in range(hg)], axis=1)              # [wblk, hg*n, hg*hd]
+        attn = lax.dot_general(
+            qg, kpad, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)        # [wblk, n, hg*n]
+        attn = attn + bias_ref[0, gi][None].astype(jnp.float32)
+        if shift > 0:
+            attn = attn + pen_g
+        m = jnp.concatenate(
+            [jnp.broadcast_to(
+                jnp.max(attn[:, :, i * n:(i + 1) * n], axis=-1, keepdims=True),
+                (wblk, n, n)) for i in range(hg)], axis=-1)
+        p = jnp.exp(attn - m)
+        s = jnp.concatenate(
+            [jnp.broadcast_to(
+                jnp.sum(p[:, :, i * n:(i + 1) * n], axis=-1, keepdims=True),
+                (wblk, n, hd)) for i in range(hg)], axis=-1)
+        vpad = jnp.concatenate(
+            [jnp.pad(vg[:, :, i * hd:(i + 1) * hd],
+                     ((0, 0), (0, 0), (i * hd, (hg - 1 - i) * hd)))
+             for i in range(hg)], axis=1)
+        ctx = lax.dot_general(
+            p.astype(cdt), vpad, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)        # [wblk, n, hg*hd]
+        ctx = (ctx / s).astype(cdt)
+        acc = acc + lax.dot_general(
+            ctx.reshape(wblk * n, hg * hd), wproj_ref[g0 * hd:(g0 + hg) * hd, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    out = acc.astype(cdt) + bproj_ref[0].astype(cdt)
+    out_ref[:] = x_ref[:] + out.reshape(wblk, n, c)
+
+
+# (num_heads, shifted) -> head-group size; measured on-chip, see BASELINE.md
+# round-4 "head-grouped index-math attention kernel" table.  Fallback: the
+# largest divisor <= 4.
+_V2_HG = {}
+
+
+def _v2_hg_default(num_heads):
+    if num_heads in _V2_HG:
+        return _V2_HG[num_heads]
+    for cand in (4, 3, 2, 1):
+        if num_heads % cand == 0:
+            return cand
+    return 1
+
+
+def _attn_section_v2_pallas(x_win, geom, gamma, beta, wqkv, bqkv, wproj,
+                            bproj, bias, num_heads, eps, interpret,
+                            hg=None, wblk=None):
+    """geom = (h, w, hp, wp, ws, shift); bias [1, nh, N, N] rel-pos only."""
+    h, w, hp, wp, ws, shift = geom
+    nw, n, c = x_win.shape
+    hd = c // num_heads
+    cdt = x_win.dtype
+    itemsize = x_win.dtype.itemsize
+    if hg is None:
+        hg = _v2_hg_default(num_heads)
+    assert num_heads % hg == 0
+
+    def ceil_to(v, m):
+        return -(-v // m) * m
+
+    n8 = ceil_to(n, 16 if itemsize == 2 else 8)
+    n_real = n
+    bias = bias.astype(jnp.float32)
+    if n8 != n:
+        x_win = jnp.pad(x_win, ((0, 0), (0, n8 - n), (0, 0)))
+        keymask = jnp.where(jnp.arange(n8) >= n, -1e9, 0.0).astype(jnp.float32)
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, n8 - n), (0, n8 - n)))
+        bias = bias + keymask[None, None, None, :]
+        n = n8
+
+    bias_g = (bias[0].reshape(num_heads // hg, hg, n, n)
+              .transpose(0, 2, 1, 3).reshape(num_heads // hg, n, hg * n)
+              [None].astype(cdt))
+
+    if wblk is None:
+        # fp32 VMEM footprint per window (dominant terms): LN x/y + qkv +
+        # score/exp/bcast-max [n, hg*n] + block-diag K/V + acc; bf16 x/out
+        # double-buffered.  ~11 MB scoped budget, cap 64 (measured flat
+        # beyond; see BASELINE.md round 4).
+        lanes_c = ceil_to(c, 128)
+        lanes_gn = ceil_to(hg * n, 128)
+        lanes_ghd = ceil_to(hg * hd, 128)
+        per_win = (
+            4 * n * lanes_c * itemsize            # x + out, double-buffered
+            + n * ceil_to(3 * c, 128) * (itemsize + 4)  # qkv bf16 + fp32 acc
+            + 2 * n * lanes_c * 4                 # fp32 x, y
+            + 3 * n * lanes_gn * 4                # attn, exp, bcast max
+            + 2 * hg * n * lanes_ghd * (4 + itemsize)   # kpad + vpad
+            + n * lanes_ghd * 4 + n * lanes_c * 4       # ctx + acc
+            + (2 * n * lanes_gn * 4 if shift > 0 else 0))  # pen, pen_g
+        shared = ((4 * c * c + 8 * c) * itemsize
+                  + (num_heads // hg) * n * lanes_gn * itemsize)
+        budget = max(1, (11 * 1024 * 1024 - shared) // per_win)
+        wblk = max(1, min(budget, 64, nw))
+
+    grid = (-(-nw // wblk),)
+    nw_padded = grid[0] * wblk
+    if nw_padded != nw:
+        x_win = jnp.pad(x_win, ((0, nw_padded - nw), (0, 0), (0, 0)))
+
+    vec = lambda a: a.reshape(1, -1).astype(jnp.float32)
+    kernel = functools.partial(
+        _attn_section_v2_kernel, num_heads=num_heads, head_dim=hd, hg=hg,
+        eps=eps, wblk=wblk, geom=(h, w, hp, wp, ws, shift, n_real))
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nw_padded, n, c), cdt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((wblk, n, c), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3 * c), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * c), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_heads // hg, n, hg * n),
+                         lambda j: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((wblk, n, c), lambda j: (j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nw * n * c * (4 * c + 2 * hg * n),
+            bytes_accessed=2 * nw * n * c * itemsize,
+            transcendentals=nw * num_heads * n * n,
+        ),
+        interpret=interpret,
+    )(x_win, vec(gamma), vec(beta), wqkv.astype(cdt), vec(bqkv),
+      wproj.astype(cdt), vec(bproj), bias_g)
+    if nw_padded != nw:
+        out = out[:nw]
+    return out[:, :n_real, :] if n_real != n else out
+
+
 def attn_section_reference(x_win, mask_tok, gamma, beta, wqkv, bqkv, wproj,
                            bproj, bias, num_heads, eps=1e-5, regions=None):
     """Pure-XLA reference for the fused attention section (tests/backward).
@@ -377,24 +592,40 @@ def attn_section_reference(x_win, mask_tok, gamma, beta, wqkv, bqkv, wproj,
     return x_win + out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
-def _attn_section(x_win, mask_tok, regions, gamma, beta, wqkv, bqkv, wproj,
-                  bproj, bias, num_heads, eps, interpret, group):
+def _attn_section_dispatch(x_win, mask_tok, regions, gamma, beta, wqkv, bqkv,
+                           wproj, bproj, bias, num_heads, eps, interpret,
+                           group, geom, hg):
+    if geom is not None:
+        # v2 kernel: masks/regions from index math — the mask_tok/regions
+        # array args go unread here and are DCE'd by XLA (they still feed
+        # the XLA fallback and the backward pass)
+        return _attn_section_v2_pallas(x_win, geom, gamma, beta, wqkv, bqkv,
+                                       wproj, bproj, bias, num_heads, eps,
+                                       interpret, hg=hg)
     return _attn_section_pallas(x_win, mask_tok, regions, gamma, beta, wqkv,
                                 bqkv, wproj, bproj, bias, num_heads, eps,
                                 interpret, group=group)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15))
+def _attn_section(x_win, mask_tok, regions, gamma, beta, wqkv, bqkv, wproj,
+                  bproj, bias, num_heads, eps, interpret, group, geom, hg):
+    return _attn_section_dispatch(x_win, mask_tok, regions, gamma, beta, wqkv,
+                                  bqkv, wproj, bproj, bias, num_heads, eps,
+                                  interpret, group, geom, hg)
+
+
 def _attn_section_fwd(x_win, mask_tok, regions, gamma, beta, wqkv, bqkv,
-                      wproj, bproj, bias, num_heads, eps, interpret, group):
-    out = _attn_section_pallas(x_win, mask_tok, regions, gamma, beta, wqkv,
-                               bqkv, wproj, bproj, bias, num_heads, eps,
-                               interpret, group=group)
+                      wproj, bproj, bias, num_heads, eps, interpret, group,
+                      geom, hg):
+    out = _attn_section_dispatch(x_win, mask_tok, regions, gamma, beta, wqkv,
+                                 bqkv, wproj, bproj, bias, num_heads, eps,
+                                 interpret, group, geom, hg)
     return out, (x_win, mask_tok, regions, gamma, beta, wqkv, bqkv, wproj,
                  bproj, bias)
 
 
-def _attn_section_bwd(num_heads, eps, interpret, group, saved, g):
+def _attn_section_bwd(num_heads, eps, interpret, group, geom, hg, saved, g):
     x_win, mask_tok, regions, gamma, beta, wqkv, bqkv, wproj, bproj, bias = saved
 
     def f(x_win_, gamma_, beta_, wqkv_, bqkv_, wproj_, bproj_, bias_):
@@ -417,7 +648,7 @@ _attn_section.defvjp(_attn_section_fwd, _attn_section_bwd)
 
 def swin_attn_section_fused(x_win, mask_tok, gamma, beta, wqkv, bqkv, wproj,
                             bproj, bias, num_heads, eps=1e-5, regions=None,
-                            interpret=False, group=1):
+                            interpret=False, group=1, geom=None, hg=None):
     """Fused LN+qkv+window-attention+proj+residual over partitioned windows.
 
     x_win: [NW, N, C] raw (un-normalized) window-partitioned input;
@@ -426,6 +657,14 @@ def swin_attn_section_fused(x_win, mask_tok, gamma, beta, wqkv, bqkv, wproj,
     [1, nh, N, N] relative-position bias; regions: optional [nW_img, N]
     shift-region ids for SW-MSA blocks (the pairwise mask is recomputed
     in-kernel).  Falls back to the XLA reference on non-TPU backends.
+
+    geom: optional (h, w, hp, wp, ws, shift).  When given, the forward runs
+    the round-4 v2 kernel (_attn_section_v2_kernel): pad-mask + region ids
+    from index math instead of the [NW, N, 1] arrays (whose trailing-1 lane
+    padding made them the section's dominant HBM traffic), plus hg-head-
+    grouped block-diagonal dots.  mask_tok/regions must still be passed
+    (consistent with geom) — they feed the XLA fallback and backward.
+    hg: head-group size (None = measured default for num_heads).
     """
     if not interpret:
         from .pallas_mlp import force_interpret
@@ -436,7 +675,8 @@ def swin_attn_section_fused(x_win, mask_tok, gamma, beta, wqkv, bqkv, wproj,
                                       bqkv, wproj, bproj, bias, num_heads,
                                       eps, regions=regions)
     return _attn_section(x_win, mask_tok, regions, gamma, beta, wqkv, bqkv,
-                         wproj, bproj, bias, num_heads, eps, interpret, group)
+                         wproj, bproj, bias, num_heads, eps, interpret, group,
+                         geom, hg)
 
 
 def window_attention_reference(qkv: jnp.ndarray, bias: jnp.ndarray, num_heads: int) -> jnp.ndarray:
