@@ -234,3 +234,72 @@ def bottleneck_int8_reference(x, w1, w2, w3, a1, b1, a2, b2, a3, b3,
     if last_relu:
         o = jnp.maximum(o, 0.0)
     return o.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 partial fusion: conv3 + residual epilogue only.
+#
+# The full-block kernel above lost to its halo DMA machinery (~17 us/step).
+# But the HLO analysis (module docstring) shows the traffic is concentrated
+# in ONE place XLA cannot fix: conv3's s32 output (2048 ch, 2.1 GB at b16
+# 128^2) materializes because its epilogue carries the residual operand,
+# then is re-read by the dequant+residual pass.  conv1/conv2 epilogues
+# already output-fuse to int8 under XLA.  So fuse ONLY conv3: a 1x1 conv is
+# a pure [M, P] @ [P, C] matmul — no halos, no manual DMA, just row-tiles —
+# with dequant+BN+residual+relu applied in VMEM before the bf16 store.
+# Per eligible block this replaces {s32 write, s32 read, residual read,
+# bf16 write} (~5.3 GB) with {int8 in, residual read, bf16 write} (~1.7 GB).
+
+
+def _conv3_kernel(h2q_ref, res_ref, w3_ref, a3_ref, b3_ref, out_ref, *,
+                  last_relu: bool):
+    acc = lax.dot_general(
+        h2q_ref[:], w3_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [mblk, C] s32
+    o = acc.astype(jnp.float32) * a3_ref[0] + b3_ref[0]
+    o = o + res_ref[:].astype(jnp.float32)
+    if last_relu:
+        o = jnp.maximum(o, 0.0)
+    out_ref[:] = o.astype(out_ref.dtype)
+
+
+def conv3_residual_int8(h2q, res, w3, a3, b3, *, last_relu: bool = True,
+                        interpret: bool = False, mblk: int | None = None):
+    """h2q int8 [M, P] (conv3 input, already quantized), res [M, C] bf16
+    (block input), w3 int8 [P, C], a3/b3 [C] f32 (dequant*BN affine) ->
+    [M, C] bf16: conv3 + BN3 + residual (+relu) in one pass."""
+    m, p = h2q.shape
+    c = res.shape[1]
+    if mblk is None:
+        # per-row VMEM: io (h2q + res + out, double-buffered) + s32 acc +
+        # f32 epilogue stage; ~11 MB budget
+        per_row = 2 * (p + 2 * c + 2 * c) + 4 * c + 4 * c
+        mblk = max(8, min(1024, (11 * 1024 * 1024 - p * c) // per_row))
+        mblk = 1 << (mblk.bit_length() - 1)   # power of two for clean grids
+    mp = -(-m // mblk) * mblk
+    if mp != m:
+        h2q = jnp.pad(h2q, ((0, mp - m), (0, 0)))
+        res = jnp.pad(res, ((0, mp - m), (0, 0)))
+    vec = lambda a: a.reshape(1, -1).astype(jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(_conv3_kernel, last_relu=last_relu),
+        grid=(mp // mblk,),
+        in_specs=[
+            pl.BlockSpec((mblk, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mblk, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((mblk, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, c), res.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * p * c,
+            bytes_accessed=mp * (p + 4 * c),
+            transcendentals=0),
+        interpret=interpret,
+    )(h2q, res, w3, vec(a3), vec(b3))
+    return out[:m] if mp != m else out

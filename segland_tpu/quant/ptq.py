@@ -49,6 +49,14 @@ class QuantConfig:
     # one VMEM pass per block instead of ~9 GB/block of HBM traffic from
     # the conv3 s32 materialization + standalone quantize passes
     fused_blocks: bool = False
+    # Round-4 partial fusion: keep conv1/conv2 on XLA (whose epilogues
+    # already output-fuse to int8) but run conv3 + BN + residual (+relu) as
+    # one Pallas matmul kernel (ops/pallas_bottleneck.conv3_residual_int8) —
+    # removing the conv3 s32 materialization + re-read (~5.3 -> ~1.7 GB per
+    # eligible block at b16 128^2x2048), the one fusion XLA cannot do
+    # because the epilogue carries the residual operand.  Mutually exclusive
+    # with fused_blocks (fused_blocks wins if both set).
+    fused_conv3: bool = False
     fused_interpret: bool = False  # interpret-mode kernel (CPU tests)
 
 
@@ -182,6 +190,37 @@ def _dense_quantizable(m, x, cfg) -> bool:
     return not _skip_by_path(m, cfg)
 
 
+def _fused_conv3_block(x, pre, dilation, last_relu, interpret):
+    """Bottleneck forward with conv1/conv2 as XLA int8 convs (their
+    quantize/dequant/BN/relu epilogues fuse to int8 stores) and conv3 +
+    residual through the Pallas kernel.  Same math as the per-conv
+    interceptor path incl. its bf16 round-trips between layers."""
+    from ..ops.pallas_bottleneck import conv3_residual_int8, _round_clip
+
+    f32 = jnp.float32
+    b, h, w, c = x.shape
+    d = (dilation, dilation)
+    xq = _round_clip(x.astype(f32) / pre["s_x"]).astype(jnp.int8)
+    acc1 = jax.lax.conv_general_dilated(
+        xq, pre["w1"][None, None], (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    h1 = jnp.maximum(acc1.astype(f32) * pre["a1"] + pre["b1"], 0.0).astype(x.dtype)
+    h1q = _round_clip(h1.astype(f32) / pre["s_h1"]).astype(jnp.int8)
+    acc2 = jax.lax.conv_general_dilated(
+        h1q, pre["w2"], (1, 1), [d] * 2, rhs_dilation=d,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    h2 = jnp.maximum(acc2.astype(f32) * pre["a2"] + pre["b2"], 0.0).astype(x.dtype)
+    h2q = _round_clip(h2.astype(f32) / pre["s_h2"]).astype(jnp.int8)
+    p = h2q.shape[-1]
+    y = conv3_residual_int8(
+        h2q.reshape(b * h * w, p), x.reshape(b * h * w, c),
+        pre["w3"], pre["a3"], pre["b3"],
+        last_relu=last_relu, interpret=interpret)
+    return y.reshape(b, h, w, c)
+
+
 def quant_interceptor(mode: str, cfg: QuantConfig = DEFAULT_CONFIG,
                       fused_map=None):
     """Interceptor for ``nn.intercept_methods``.
@@ -210,14 +249,19 @@ def quant_interceptor(mode: str, cfg: QuantConfig = DEFAULT_CONFIG,
             pre = fused_map.get(_module_path(m))
             if pre is not None and (cfg.fused_interpret
                                     or jax.default_backend() == "tpu"):
-                from ..ops.pallas_bottleneck import fused_bottleneck_int8
+                if cfg.fused_blocks:
+                    from ..ops.pallas_bottleneck import fused_bottleneck_int8
 
-                out = fused_bottleneck_int8(
-                    x, dilation=m.dilation * m.multi_grid,
-                    last_relu=m.last_relu, interpret=cfg.fused_interpret,
-                    **pre)
-                if out is not None:
-                    return out
+                    out = fused_bottleneck_int8(
+                        x, dilation=m.dilation * m.multi_grid,
+                        last_relu=m.last_relu, interpret=cfg.fused_interpret,
+                        **pre)
+                    if out is not None:
+                        return out
+                elif cfg.fused_conv3:
+                    return _fused_conv3_block(
+                        x, pre, dilation=m.dilation * m.multi_grid,
+                        last_relu=m.last_relu, interpret=cfg.fused_interpret)
         is_conv = _conv_quantizable(m, x, cfg)
         if not is_conv and not _dense_quantizable(m, x, cfg):
             return next_fun(*args, **kwargs)
@@ -307,8 +351,8 @@ def quantized_apply(model, cfg: QuantConfig = DEFAULT_CONFIG):
             raise ValueError(
                 "int8 inference requires activation scales - run quant.calibrate first")
         fused_map = (build_fused_block_inputs(variables, cfg)
-                     if cfg.fused_blocks else None)
-        if cfg.fused_blocks:
+                     if (cfg.fused_blocks or cfg.fused_conv3) else None)
+        if cfg.fused_blocks or cfg.fused_conv3:
             # the fused kernel additionally gates per-call on bfloat16
             # activations + (TPU backend or fused_interpret) + stride-1
             # no-downsample Bottlenecks — warn instead of silently doing
@@ -316,13 +360,15 @@ def quantized_apply(model, cfg: QuantConfig = DEFAULT_CONFIG):
             import logging
 
             log = logging.getLogger(__name__)
+            which = "fused_blocks" if cfg.fused_blocks else "fused_conv3"
             if not fused_map:
-                log.warning("fused_blocks requested but no Bottleneck has a "
-                            "fused-eligible weight set; per-conv int8 only")
+                log.warning("%s requested but no Bottleneck has a "
+                            "fused-eligible weight set; per-conv int8 only",
+                            which)
             elif not (cfg.fused_interpret or jax.default_backend() == "tpu"):
-                log.warning("fused_blocks requested but backend is %s (needs "
+                log.warning("%s requested but backend is %s (needs "
                             "TPU, or QuantConfig(fused_interpret=True)); "
-                            "per-conv int8 only", jax.default_backend())
+                            "per-conv int8 only", which, jax.default_backend())
         with nn.intercept_methods(quant_interceptor("int8", cfg, fused_map)):
             return model.apply(variables, *args, **kwargs)
 

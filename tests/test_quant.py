@@ -215,3 +215,49 @@ def test_fused_blocks_interceptor_path():
     fused = np.asarray(quantized_apply(mod, cfg)(vq, x), np.float32)
     scale = np.abs(plain).max()
     assert np.abs(plain - fused).max() < 0.05 * scale
+
+
+def test_conv3_residual_kernel_matches_reference():
+    """Round-4 conv3+residual epilogue kernel == the same math in XLA."""
+    import numpy as np
+    from segland_tpu.ops.pallas_bottleneck import conv3_residual_int8
+
+    rng = np.random.RandomState(1)
+    for (M, P, C, lr) in [(260, 32, 128, True), (96, 16, 64, False)]:
+        h2q = jnp.asarray(rng.randint(-127, 128, (M, P)), jnp.int8)
+        res = jnp.asarray(rng.randn(M, C), jnp.bfloat16)
+        w3 = jnp.asarray(rng.randint(-127, 128, (P, C)), jnp.int8)
+        a3 = jnp.asarray(rng.rand(C) * 1e-4 + 1e-5, jnp.float32)
+        b3 = jnp.asarray(rng.randn(C) * 0.1, jnp.float32)
+        acc = h2q.astype(jnp.int32) @ w3.astype(jnp.int32)
+        ref = acc.astype(jnp.float32) * a3 + b3 + res.astype(jnp.float32)
+        if lr:
+            ref = jnp.maximum(ref, 0.0)
+        ref = ref.astype(jnp.bfloat16)
+        out = conv3_residual_int8(h2q, res, w3, a3, b3, last_relu=lr,
+                                  interpret=True, mblk=64)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   rtol=0, atol=1e-2)
+
+
+def test_fused_conv3_interceptor_path():
+    """QuantConfig(fused_conv3=True) routes eligible Bottlenecks through the
+    conv3+residual kernel and stays close to the per-conv int8 path."""
+    import numpy as np
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    from benchmarks.resnet_stage_probe import Stage
+    from segland_tpu.quant import QuantConfig, calibrate, quantized_apply
+
+    mod = Stage(32, 2, 128, 1, 2)
+    x = (jax.random.normal(jax.random.PRNGKey(1), (1, 32, 16, 128)) * 2
+         ).astype(jnp.bfloat16)
+    v = mod.init(jax.random.PRNGKey(0), x)
+    vq = calibrate(mod, v, [x])
+
+    plain = np.asarray(quantized_apply(mod)(vq, x), np.float32)
+    cfg = QuantConfig(fused_conv3=True, fused_interpret=True)
+    fused = np.asarray(quantized_apply(mod, cfg)(vq, x), np.float32)
+    scale = np.abs(plain).max()
+    assert np.abs(plain - fused).max() < 0.05 * scale
