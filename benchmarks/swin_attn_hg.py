@@ -215,7 +215,7 @@ def hg_section(x_win, mask_tok, regions, gamma, beta, wqkv, bqkv, wproj, bproj,
 
 def _hg2_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref, wproj_ref,
                 bproj_ref, bias_ref, out_ref, *, num_heads, head_dim, hg, eps,
-                wblk, geom, score_f32):
+                wblk, geom, score_f32, ablate="none"):
     """v2: mask + shift-region ids computed from the window index (iota math)
     instead of shipped as [NW, n, 1] arrays — whose trailing-1 lane padding
     made them the DOMINANT HBM traffic (128x physical inflation; measured
@@ -258,6 +258,10 @@ def _hg2_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref, wproj_ref,
     ).astype(cdt) + bqkv_ref[0].astype(cdt)
     qkv = qkv.reshape(wblk, n, 3 * c)
 
+    if ablate == "io":
+        out_ref[:] = x_ref[:] + y
+        return
+
     if shift > 0:
         # SW-MSA region ids from rolled coords (reference swin :360-374);
         # tokens attend only within equal ids
@@ -277,6 +281,14 @@ def _hg2_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref, wproj_ref,
         qg = qkv[:, :, g0 * hd:(g0 + hg) * hd].astype(sdt) * jnp.asarray(scale, sdt)
         kg = qkv[:, :, c + g0 * hd: c + (g0 + hg) * hd].astype(sdt)
         vg = qkv[:, :, 2 * c + g0 * hd: 2 * c + (g0 + hg) * hd]
+        if ablate == "attn":
+            ctx = qg.astype(cdt)
+            acc = acc + lax.dot_general(
+                ctx.reshape(wblk * n, hg * hd),
+                wproj_ref[g0 * hd:(g0 + hg) * hd, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            continue
         kpad = jnp.concatenate(
             [jnp.pad(kg[:, :, i * hd:(i + 1) * hd],
                      ((0, 0), (0, 0), (i * hd, (hg - 1 - i) * hd)))
@@ -287,22 +299,37 @@ def _hg2_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref, wproj_ref,
         attn = attn + bias_ref[0, gi][None].astype(jnp.float32)
         if shift > 0:
             attn = attn + pen_g
-        m = jnp.concatenate(
-            [jnp.broadcast_to(
-                jnp.max(attn[:, :, i * n:(i + 1) * n], axis=-1, keepdims=True),
-                (wblk, n, n)) for i in range(hg)], axis=-1)
-        p = jnp.exp(attn - m)
+        if ablate == "softmax":
+            p = attn * 0.001
+        else:
+            m = jnp.concatenate(
+                [jnp.broadcast_to(
+                    jnp.max(attn[:, :, i * n:(i + 1) * n], axis=-1,
+                            keepdims=True),
+                    (wblk, n, n)) for i in range(hg)], axis=-1)
+            p = jnp.exp(attn - m)
         s = jnp.concatenate(
             [jnp.broadcast_to(
                 jnp.sum(p[:, :, i * n:(i + 1) * n], axis=-1, keepdims=True),
                 (wblk, n, hd)) for i in range(hg)], axis=-1)
-        vpad = jnp.concatenate(
-            [jnp.pad(vg[:, :, i * hd:(i + 1) * hd],
-                     ((0, 0), (0, 0), (i * hd, (hg - 1 - i) * hd)))
-             for i in range(hg)], axis=1)
-        ctx = lax.dot_general(
-            p.astype(cdt), vpad, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
+        if ablate == "build":
+            # skip block-diag V construction: per-head ctx dots (v1 style)
+            ctx = jnp.concatenate(
+                [lax.dot_general(
+                    p[:, :, i * n:(i + 1) * n].astype(cdt),
+                    vg[:, :, i * hd:(i + 1) * hd],
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                 for i in range(hg)], axis=-1)
+        else:
+            vpad = jnp.concatenate(
+                [jnp.pad(vg[:, :, i * hd:(i + 1) * hd],
+                         ((0, 0), (0, 0), (i * hd, (hg - 1 - i) * hd)))
+                 for i in range(hg)], axis=1)
+            ctx = lax.dot_general(
+                p.astype(cdt), vpad,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
         ctx = (ctx / s).astype(cdt)
         acc = acc + lax.dot_general(
             ctx.reshape(wblk * n, hg * hd), wproj_ref[g0 * hd:(g0 + hg) * hd, :],
@@ -314,7 +341,7 @@ def _hg2_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref, wproj_ref,
 
 def hg2_section(x_win, geom, gamma, beta, wqkv, bqkv, wproj, bproj,
                 bias, num_heads, eps=1e-5, wblk=32, hg=1, score_f32=True,
-                interpret=False):
+                interpret=False, ablate="none"):
     """v2 wrapper: geom = (h, w, hp, wp, ws, shift); no mask/region arrays.
     bias: [1, nh, N, N] (N = ws*ws, unpadded)."""
     assert num_heads % hg == 0
@@ -350,7 +377,7 @@ def hg2_section(x_win, geom, gamma, beta, wqkv, bqkv, wproj, bproj,
     kernel = functools.partial(
         _hg2_kernel, num_heads=num_heads, head_dim=hd, hg=hg, eps=eps,
         wblk=wblk, geom=(h, w, hp, wp, ws, shift, n_real),
-        score_f32=score_f32)
+        score_f32=score_f32, ablate=ablate)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nw_padded, n, c), cdt),
@@ -460,15 +487,16 @@ def main():
                               score_f32=f32)
         return op
 
-    def pair2(wblk, hg, f32):
+    def pair2(wblk, hg, f32, ablate="none"):
         def op(w):
             y = hg2_section(w, I["geom"] + (0,), I["g_ln"], I["b_ln"],
                             I["wqkv"], I["bqkv"], I["wproj"], I["bproj"],
-                            I["bias"], nh, wblk=wblk, hg=hg, score_f32=f32)
+                            I["bias"], nh, wblk=wblk, hg=hg, score_f32=f32,
+                            ablate=ablate)
             return hg2_section(y, I["geom"] + (WS // 2,), I["g_ln"],
                                I["b_ln"], I["wqkv"], I["bqkv"], I["wproj"],
                                I["bproj"], I["bias"], nh, wblk=wblk, hg=hg,
-                               score_f32=f32)
+                               score_f32=f32, ablate=ablate)
         return op
 
     print(f"[{time.strftime('%H:%M:%S')}] baseline...", flush=True)
@@ -482,12 +510,18 @@ def main():
         parts = spec.split("-")
         ver, hg, wblk = int(parts[0]), int(parts[1]), int(parts[2])
         f32 = "bf16" not in parts
-        mk = pair if ver == 1 else pair2
-        name = f"v{ver} hg={hg} wblk={wblk} {'f32' if f32 else 'bf16'}"
+        ablate = "none"
+        for p in parts[3:]:
+            if p.startswith("ab"):
+                ablate = p[2:]
+        name = (f"v{ver} hg={hg} wblk={wblk} {'f32' if f32 else 'bf16'}"
+                + (f" ablate={ablate}" if ablate != "none" else ""))
         try:
             print(f"[{time.strftime('%H:%M:%S')}] compiling {name}...",
                   flush=True)
-            ms = chain_time(mk(wblk, hg, f32), I["wins"]) - base
+            mk = (pair(wblk, hg, f32) if ver == 1
+                  else pair2(wblk, hg, f32, ablate))
+            ms = chain_time(mk, I["wins"]) - base
             print(f"{stage} b{batch} {name}: {ms:7.3f} ms", flush=True)
         except Exception as e:  # noqa: BLE001
             print(f"{stage} b{batch} {name}: FAILED {type(e).__name__}: "

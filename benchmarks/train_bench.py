@@ -95,6 +95,11 @@ if __name__ == "__main__":
         bench_base("swin_pop", "swin-s", 4)
     if which in ("all", "ft"):
         bench_ft()
+    if which == "packed_vgg":
+        # vggunet-only re-run (the first A/B crashed on the double-tiled
+        # bias — fixed in round 4)
+        bench_base("vggunet_pop", "vgg16bn-unet", 4, packed_train=False)
+        bench_base("vggunet_pop", "vgg16bn-unet", 4, packed_train=True)
     if which == "packed":
         # packed_train A/B for lsknet + vggunet (VERDICT r3 item 4): the
         # round-3 mini-run wired the knob with defaults=False citing a

@@ -176,7 +176,8 @@ class LSKStageBlock(nn.Module):
     drop_path: float = 0.0
     packed: bool = True
     # Train-mode packing of the block glue (BN/residual/layer-scale) on the
-    # C<128 stages; default set by measurement (BASELINE.md round 3).
+    # C<128 stages; default False by measurement: the round-4 A/B is a null
+    # result (129.1 -> 129.1 ms/step b8 768^2; BASELINE.md round-4 table).
     packed_train: bool = False
     dtype: Any = jnp.float32
 

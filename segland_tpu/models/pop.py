@@ -68,7 +68,8 @@ class GFSSModel(nn.Module):
     fused_mlp: bool = False   # Pallas LN+MLP kernel in swin/convnext backbones
     fused_attn: bool = False  # Pallas attention-section kernel in swin backbones
     # Train-mode W-packing override for hrnet/lsknet/vggunet backbones
-    # (None = each backbone's measured default; see BASELINE.md round 3).
+    # (None = each backbone's measured default; see the BASELINE.md
+    # round-2 HRNet and round-4 lsknet/vggunet train-packing A/B tables).
     packed_train: Any = None
     dtype: Any = jnp.float32
 

@@ -454,10 +454,10 @@ def _attn_section_v2_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref,
     out_ref[:] = x_ref[:] + out.reshape(wblk, n, c)
 
 
-# (num_heads, shifted) -> head-group size; measured on-chip, see BASELINE.md
-# round-4 "head-grouped index-math attention kernel" table.  Fallback: the
-# largest divisor <= 4.
-_V2_HG = {}
+# num_heads -> head-group size; measured on-chip (BASELINE.md round-4
+# "v2 kernel" table: stage0 hg3 19.5 ms/pair vs 23.7 v1; stage1 hg6 8.0 vs
+# 11.8; stage2 hg4 4.56 vs 6.03/5.62).  Fallback: largest divisor <= 4.
+_V2_HG = {3: 3, 6: 6, 12: 4, 24: 4}
 
 
 def _v2_hg_default(num_heads):
@@ -500,25 +500,13 @@ def _attn_section_v2_pallas(x_win, geom, gamma, beta, wqkv, bqkv, wproj,
               [None].astype(cdt))
 
     if wblk is None:
-        # fp32 VMEM footprint per window (dominant terms): LN x/y + qkv +
-        # score/exp/bcast-max [n, hg*n] + block-diag K/V + acc; bf16 x/out
-        # double-buffered.  ~11 MB scoped budget, cap 64 (measured flat
-        # beyond; see BASELINE.md round 4).
-        lanes_c = ceil_to(c, 128)
-        lanes_gn = ceil_to(hg * n, 128)
-        lanes_ghd = ceil_to(hg * hd, 128)
-        per_win = (
-            4 * n * lanes_c * itemsize            # x + out, double-buffered
-            + n * ceil_to(3 * c, 128) * (itemsize + 4)  # qkv bf16 + fp32 acc
-            + 2 * n * lanes_c * 4                 # fp32 x, y
-            + 3 * n * lanes_gn * 4                # attn, exp, bcast max
-            + 2 * hg * n * lanes_ghd * (4 + itemsize)   # kpad + vpad
-            + n * lanes_ghd * 4 + n * lanes_c * 4       # ctx + acc
-            + (2 * n * lanes_gn * 4 if shift > 0 else 0))  # pen, pen_g
-        shared = ((4 * c * c + 8 * c) * itemsize
-                  + (num_heads // hg) * n * lanes_gn * itemsize)
-        budget = max(1, (11 * 1024 * 1024 - shared) // per_win)
-        wblk = max(1, min(budget, 64, nw))
+        # Calibrated on-chip (BASELINE.md round 4): static VMEM estimates
+        # over-predict Mosaic's real (liveness-reused) allocation by 3-6x,
+        # so size by the measured fit boundary per channel width instead:
+        # c<=192 fits wblk=32 (64 fails), c<=384 fits 16 (32 fails),
+        # larger stages take 8.
+        wblk = 32 if c <= 192 else (16 if c <= 384 else 8)
+        wblk = max(1, min(wblk, nw))
 
     grid = (-(-nw // wblk),)
     nw_padded = grid[0] * wblk

@@ -239,16 +239,17 @@ def bottleneck_int8_reference(x, w1, w2, w3, a1, b1, a2, b2, a3, b3,
 # ---------------------------------------------------------------------------
 # Round-4 partial fusion: conv3 + residual epilogue only.
 #
-# The full-block kernel above lost to its halo DMA machinery (~17 us/step).
-# But the HLO analysis (module docstring) shows the traffic is concentrated
-# in ONE place XLA cannot fix: conv3's s32 output (2048 ch, 2.1 GB at b16
-# 128^2) materializes because its epilogue carries the residual operand,
-# then is re-read by the dequant+residual pass.  conv1/conv2 epilogues
-# already output-fuse to int8 under XLA.  So fuse ONLY conv3: a 1x1 conv is
-# a pure [M, P] @ [P, C] matmul — no halos, no manual DMA, just row-tiles —
-# with dequant+BN+residual+relu applied in VMEM before the bf16 store.
-# Per eligible block this replaces {s32 write, s32 read, residual read,
-# bf16 write} (~5.3 GB) with {int8 in, residual read, bf16 write} (~1.7 GB).
+# STATUS: measured SLOWER than the XLA equivalent and NOT USED in the
+# serving path (kept for the record + its exactness test).
+# benchmarks/conv3_probe.py, b16 layer4/layer3 eval shapes:
+#   XLA  [M,P]@[P,C] int8 dot + dequant + residual + relu:  1.69 / 0.55 ms
+#   this kernel (mblk None/128/512):                        8.2  / 3.9  ms
+# Two lessons: (1) XLA fuses the residual-carrying epilogue FINE when the
+# whole chain is one expression — the s32 materialization seen in the
+# model came from the per-conv interceptor's call-boundary split, not an
+# XLA limitation (fix: quant/ptq.py:_fused_conv3_block writes the block as
+# one chain); (2) the Mosaic int8 dot does not reach the int8 MXU rate at
+# these shapes (~8 ms for a 550-GFLOP dot = fp32-class throughput).
 
 
 def _conv3_kernel(h2q_ref, res_ref, w3_ref, a3_ref, b3_ref, out_ref, *,

@@ -49,13 +49,14 @@ class QuantConfig:
     # one VMEM pass per block instead of ~9 GB/block of HBM traffic from
     # the conv3 s32 materialization + standalone quantize passes
     fused_blocks: bool = False
-    # Round-4 partial fusion: keep conv1/conv2 on XLA (whose epilogues
-    # already output-fuse to int8) but run conv3 + BN + residual (+relu) as
-    # one Pallas matmul kernel (ops/pallas_bottleneck.conv3_residual_int8) —
-    # removing the conv3 s32 materialization + re-read (~5.3 -> ~1.7 GB per
-    # eligible block at b16 128^2x2048), the one fusion XLA cannot do
-    # because the epilogue carries the residual operand.  Mutually exclusive
-    # with fused_blocks (fused_blocks wins if both set).
+    # Round-4 partial fusion: run each eligible Bottleneck as ONE XLA
+    # expression chain (conv3 as a flat dot_general with dequant*BN +
+    # residual + relu in its epilogue) instead of per-conv interception —
+    # removing the conv3 s32 materialization + re-read (~4.2 GB per
+    # 2048-ch block at b16 128^2) that the interceptor's call-boundary
+    # split forces.  See _fused_conv3_block for the measurements (incl.
+    # the Pallas variant that measured 5x slower and was dropped).
+    # Mutually exclusive with fused_blocks (fused_blocks wins if both set).
     fused_conv3: bool = False
     fused_interpret: bool = False  # interpret-mode kernel (CPU tests)
 
@@ -191,11 +192,21 @@ def _dense_quantizable(m, x, cfg) -> bool:
 
 
 def _fused_conv3_block(x, pre, dilation, last_relu, interpret):
-    """Bottleneck forward with conv1/conv2 as XLA int8 convs (their
-    quantize/dequant/BN/relu epilogues fuse to int8 stores) and conv3 +
-    residual through the Pallas kernel.  Same math as the per-conv
-    interceptor path incl. its bf16 round-trips between layers."""
-    from ..ops.pallas_bottleneck import conv3_residual_int8, _round_clip
+    """Bottleneck forward written as ONE XLA expression chain so the conv3
+    epilogue (dequant*BN + residual + relu) output-fuses: the per-conv
+    interceptor splits dequant (interceptor) from BN/residual (module code)
+    across call boundaries and XLA materializes conv3's s32 output + a
+    re-read (~4.2 GB per 2048-ch block at b16 128^2).  conv3 runs as a flat
+    [M,P]@[P,C] dot_general over the (free) pixel-collapsed view.
+
+    Measured (benchmarks/conv3_probe.py, b16 layer4/layer3 shapes): the
+    whole dot + dequant + residual + relu chain is 1.69 / 0.55 ms — i.e.
+    XLA fuses it fully when given the chance; a hand-written Pallas kernel
+    of the same op measured 8.2 / 3.9 ms (the Mosaic int8 dot does not hit
+    the int8 MXU rate), so this path is pure XLA.  `interpret` is unused
+    (kept for signature parity with the fused_blocks branch)."""
+    del interpret
+    from ..ops.pallas_bottleneck import _round_clip
 
     f32 = jnp.float32
     b, h, w, c = x.shape
@@ -214,11 +225,14 @@ def _fused_conv3_block(x, pre, dilation, last_relu, interpret):
     h2 = jnp.maximum(acc2.astype(f32) * pre["a2"] + pre["b2"], 0.0).astype(x.dtype)
     h2q = _round_clip(h2.astype(f32) / pre["s_h2"]).astype(jnp.int8)
     p = h2q.shape[-1]
-    y = conv3_residual_int8(
-        h2q.reshape(b * h * w, p), x.reshape(b * h * w, c),
-        pre["w3"], pre["a3"], pre["b3"],
-        last_relu=last_relu, interpret=interpret)
-    return y.reshape(b, h, w, c)
+    acc3 = jax.lax.dot_general(
+        h2q.reshape(b * h * w, p), pre["w3"],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+    y = (acc3.astype(f32) * pre["a3"] + pre["b3"]
+         + x.reshape(b * h * w, c).astype(f32))
+    if last_relu:
+        y = jnp.maximum(y, 0.0)
+    return y.astype(x.dtype).reshape(b, h, w, c)
 
 
 def quant_interceptor(mode: str, cfg: QuantConfig = DEFAULT_CONFIG,
