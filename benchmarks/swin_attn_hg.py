@@ -215,20 +215,32 @@ def hg_section(x_win, mask_tok, regions, gamma, beta, wqkv, bqkv, wproj, bproj,
 
 def _hg2_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref, wproj_ref,
                 bproj_ref, bias_ref, out_ref, *, num_heads, head_dim, hg, eps,
-                wblk, geom, score_f32, ablate="none"):
+                wblk, geom, score_f32, ablate="none", flat=False):
     """v2: mask + shift-region ids computed from the window index (iota math)
     instead of shipped as [NW, n, 1] arrays — whose trailing-1 lane padding
     made them the DOMINANT HBM traffic (128x physical inflation; measured
     io-floor 11.1 ms/pair at stage 0 vs a ~1.3 ms x-only bound)."""
     h, w, hp, wp, ws, shift, n_real = geom
     blk_i = pl.program_id(0)
-    _, n, c = x_ref.shape
+    if flat:
+        # 2-D [wblk*n, c] blocks (DMA shape experiment); window structure
+        # recovered by a sublane-aligned reshape (n is a multiple of 8)
+        rows, c = x_ref.shape
+        n = rows // wblk
+    else:
+        _, n, c = x_ref.shape
     hd = head_dim
     scale = hd ** -0.5
     cdt = x_ref.dtype
     wn = wp // ws  # windows per row (batch folds into the leading dim)
 
     # per-(window, token) rolled global coords
+    if ablate == "ioraw":
+        # pure read+write (plus a trivial add so out isn't an alias)
+        out_ref[:] = x_ref[:] + x_ref[:]
+        return
+    x_raw = x_ref[:].reshape(wblk, n, c) if flat else x_ref[:]
+
     win = (blk_i * wblk + lax.broadcasted_iota(jnp.int32, (wblk, n), 0))
     tok = lax.broadcasted_iota(jnp.int32, (wblk, n), 1)
     wr = (win // wn) % (hp // ws)
@@ -244,7 +256,7 @@ def _hg2_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref, wproj_ref,
     ow = jnp.where(ow >= wp, ow - wp, ow)
     mask = ((tok < n_real) & (oh < h) & (ow < w)).astype(jnp.float32)[..., None]
 
-    x = x_ref[:].astype(jnp.float32)
+    x = x_raw.astype(jnp.float32)
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.maximum(jnp.mean(x * x, axis=-1, keepdims=True) - mu * mu, 0.0)
     y = (x - mu) * lax.rsqrt(var + eps)
@@ -259,7 +271,7 @@ def _hg2_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref, wproj_ref,
     qkv = qkv.reshape(wblk, n, 3 * c)
 
     if ablate == "io":
-        out_ref[:] = x_ref[:] + y
+        out_ref[:] = (x_raw + y).reshape(out_ref.shape)
         return
 
     if shift > 0:
@@ -336,12 +348,13 @@ def _hg2_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref, wproj_ref,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     out = acc.astype(cdt) + bproj_ref[0].astype(cdt)
-    out_ref[:] = x_ref[:] + out.reshape(wblk, n, c)
+    out_ref[:] = (x_raw + out.reshape(wblk, n, c)).reshape(out_ref.shape)
 
 
 def hg2_section(x_win, geom, gamma, beta, wqkv, bqkv, wproj, bproj,
                 bias, num_heads, eps=1e-5, wblk=32, hg=1, score_f32=True,
-                interpret=False, ablate="none"):
+                interpret=False, ablate="none", parallel=False,
+                vmem_mb=None, flat=False):
     """v2 wrapper: geom = (h, w, hp, wp, ws, shift); no mask/region arrays.
     bias: [1, nh, N, N] (N = ws*ws, unpadded)."""
     assert num_heads % hg == 0
@@ -377,13 +390,28 @@ def hg2_section(x_win, geom, gamma, beta, wqkv, bqkv, wproj, bproj,
     kernel = functools.partial(
         _hg2_kernel, num_heads=num_heads, head_dim=hd, hg=hg, eps=eps,
         wblk=wblk, geom=(h, w, hp, wp, ws, shift, n_real),
-        score_f32=score_f32, ablate=ablate)
+        score_f32=score_f32, ablate=ablate, flat=flat)
+    cp = {}
+    if parallel or vmem_mb:
+        cp["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=(("parallel",) if parallel else None),
+            vmem_limit_bytes=(vmem_mb * 1024 * 1024 if vmem_mb else None))
+    if flat:
+        x_win = x_win.reshape(nw_padded * n, c)
+        x_spec = pl.BlockSpec((wblk * n, c), lambda j: (j, 0),
+                              memory_space=pltpu.VMEM)
+        out_sds = jax.ShapeDtypeStruct((nw_padded * n, c), cdt)
+    else:
+        x_spec = pl.BlockSpec((wblk, n, c), lambda j: (j, 0, 0),
+                              memory_space=pltpu.VMEM)
+        out_sds = jax.ShapeDtypeStruct((nw_padded, n, c), cdt)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nw_padded, n, c), cdt),
+        out_shape=out_sds,
         grid=grid,
+        **cp,
         in_specs=[
-            pl.BlockSpec((wblk, n, c), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
+            x_spec,
             pl.BlockSpec((1, c), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, 3 * c), lambda j: (0, 0), memory_space=pltpu.VMEM),
@@ -393,11 +421,15 @@ def hg2_section(x_win, geom, gamma, beta, wqkv, bqkv, wproj, bproj,
             pl.BlockSpec((1, num_heads // hg, n, hg * n),
                          lambda j: (0, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((wblk, n, c), lambda j: (j, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=(pl.BlockSpec((wblk * n, c), lambda j: (j, 0),
+                                memory_space=pltpu.VMEM) if flat else
+                   pl.BlockSpec((wblk, n, c), lambda j: (j, 0, 0),
+                                memory_space=pltpu.VMEM)),
         interpret=interpret,
     )(x_win, vec(gamma), vec(beta), wqkv.astype(cdt), vec(bqkv),
       wproj.astype(cdt), vec(bproj), bias_g)
+    if flat:
+        out = out.reshape(nw_padded, n, c)
     if nw_padded != nw:
         out = out[:nw]
     return out[:, :n_real, :] if n_real != n else out
@@ -408,7 +440,11 @@ def make_inputs(stage, batch, dt=jnp.bfloat16, h_override=None):
                                                    _shift_regions,
                                                    _pad_token_mask)
     h, c, nh = {"stage0": (256, 96, 3), "stage1": (128, 192, 6),
-                "stage2": (64, 384, 12)}[stage]
+                "stage2": (64, 384, 12),
+                # full-lane-tile variants of stage0/1 (c padded to 128-mult):
+                # measures whether the partial-tile DMA penalty (ioraw 8.2 ms
+                # vs 1.75 bound at c=96) vanishes at tile-aligned widths
+                "stage0p": (256, 128, 4), "stage1p": (128, 256, 8)}[stage]
     if h_override is not None:
         h = h_override
     hp = ((h + WS - 1) // WS) * WS
@@ -487,18 +523,27 @@ def main():
                               score_f32=f32)
         return op
 
-    def pair2(wblk, hg, f32, ablate="none"):
+    def pair2(wblk, hg, f32, ablate="none", parallel=False, vmem_mb=None,
+              flat=False):
+        kw = dict(wblk=wblk, hg=hg, score_f32=f32, ablate=ablate,
+                  parallel=parallel, vmem_mb=vmem_mb, flat=flat)
         def op(w):
             y = hg2_section(w, I["geom"] + (0,), I["g_ln"], I["b_ln"],
                             I["wqkv"], I["bqkv"], I["wproj"], I["bproj"],
-                            I["bias"], nh, wblk=wblk, hg=hg, score_f32=f32,
-                            ablate=ablate)
+                            I["bias"], nh, **kw)
             return hg2_section(y, I["geom"] + (WS // 2,), I["g_ln"],
                                I["b_ln"], I["wqkv"], I["bqkv"], I["wproj"],
-                               I["bproj"], I["bias"], nh, wblk=wblk, hg=hg,
-                               score_f32=f32, ablate=ablate)
+                               I["bproj"], I["bias"], nh, **kw)
         return op
 
+    if len(sys.argv) > 4 and sys.argv[4] == "prepad":
+        # timing-only: ship windows already token-padded to 64 so the
+        # in-op jnp.pad/slice (a sublane-misaligned relayout at n=49)
+        # drops out of the measurement.  Numerics differ (pad rows are
+        # treated as real tokens) — io characterization only.
+        import jax.numpy as _j
+        I["wins"] = _j.pad(I["wins"], ((0, 0), (0, 15), (0, 0)))
+        I["bias"] = _j.pad(I["bias"], ((0, 0), (0, 0), (0, 15), (0, 15)))
     print(f"[{time.strftime('%H:%M:%S')}] baseline...", flush=True)
     base = chain_time(lambda a: a[..., :1, :1], I["wins"])
     print(f"baseline {base:.3f} ms/link", flush=True)
@@ -511,16 +556,24 @@ def main():
         ver, hg, wblk = int(parts[0]), int(parts[1]), int(parts[2])
         f32 = "bf16" not in parts
         ablate = "none"
+        parallel = "par" in parts
+        flat = "flat" in parts
+        vmem_mb = None
         for p in parts[3:]:
             if p.startswith("ab"):
                 ablate = p[2:]
+            elif p.startswith("vm"):
+                vmem_mb = int(p[2:])
         name = (f"v{ver} hg={hg} wblk={wblk} {'f32' if f32 else 'bf16'}"
-                + (f" ablate={ablate}" if ablate != "none" else ""))
+                + (f" ablate={ablate}" if ablate != "none" else "")
+                + (" par" if parallel else "")
+                + (" flat" if flat else "")
+                + (f" vm{vmem_mb}" if vmem_mb else ""))
         try:
             print(f"[{time.strftime('%H:%M:%S')}] compiling {name}...",
                   flush=True)
             mk = (pair(wblk, hg, f32) if ver == 1
-                  else pair2(wblk, hg, f32, ablate))
+                  else pair2(wblk, hg, f32, ablate, parallel, vmem_mb, flat))
             ms = chain_time(mk, I["wins"]) - base
             print(f"{stage} b{batch} {name}: {ms:7.3f} ms", flush=True)
         except Exception as e:  # noqa: BLE001

@@ -224,15 +224,23 @@ def _fused_conv3_block(x, pre, dilation, last_relu, interpret):
         preferred_element_type=jnp.int32)
     h2 = jnp.maximum(acc2.astype(f32) * pre["a2"] + pre["b2"], 0.0).astype(x.dtype)
     h2q = _round_clip(h2.astype(f32) / pre["s_h2"]).astype(jnp.int8)
-    p = h2q.shape[-1]
-    acc3 = jax.lax.dot_general(
-        h2q.reshape(b * h * w, p), pre["w3"],
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
-    y = (acc3.astype(f32) * pre["a3"] + pre["b3"]
-         + x.reshape(b * h * w, c).astype(f32))
+    acc3 = jax.lax.conv_general_dilated(
+        h2q, pre["w3"][None, None], (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    # Split the epilogue at the residual: dequant*BN fuses INTO the conv
+    # (bf16 out, the s32 never hits HBM); the residual add + relu runs as
+    # a separate clean elementwise pass.  Without the barrier XLA pulls
+    # the residual into the conv epilogue, fails to fuse it, and
+    # materializes the s32 accumulator instead (~2.1 GB per 2048-ch block;
+    # the dot_general form measured worse still — canonicalized back to a
+    # conv plus an f32 convert, stage probe 41.4 vs 29.7 ms per-conv).
+    y0 = (acc3.astype(f32) * pre["a3"] + pre["b3"]).astype(x.dtype)
+    y0 = jax.lax.optimization_barrier(y0)
+    y = y0.astype(f32) + x.astype(f32)
     if last_relu:
         y = jnp.maximum(y, 0.0)
-    return y.astype(x.dtype).reshape(b, h, w, c)
+    return y.astype(x.dtype)
 
 
 def quant_interceptor(mode: str, cfg: QuantConfig = DEFAULT_CONFIG,

@@ -67,3 +67,54 @@ def test_attn_section_group_matches_ungrouped(rng):
         group=2, **p).sum()
     gx, gb = jax.grad(f, argnums=(0, 1))(x, bias)
     assert bool(jnp.isfinite(gx).all()) and float(jnp.abs(gb).max()) > 0
+
+
+def test_attn_section_v2_geom_matches_reference(rng):
+    """Production v2 kernel (geom= index-math masks + head-grouping) ==
+    XLA reference on real swin geometry with pad tokens, for both W-MSA
+    and SW-MSA (shift wraparound), several hg, and the grad path."""
+    import jax
+
+    from segland_tpu.models.backbones.swin import (_pad_token_mask,
+                                                   _shift_regions)
+    from segland_tpu.ops.pallas_attn import (attn_section_reference,
+                                             swin_attn_section_fused)
+
+    h = w = 26          # hp = 28 -> 16 windows, pad row/col tokens
+    ws, n, c, nh = 7, 49, 48, 4
+    hp = wp = 28
+    nw = (hp // ws) ** 2
+    x = jnp.asarray(rng.randn(nw, n, c).astype(np.float32) * 0.2)
+    p = dict(
+        gamma=jnp.asarray(rng.rand(c).astype(np.float32) + 0.5),
+        beta=jnp.asarray(rng.randn(c).astype(np.float32) * 0.1),
+        wqkv=jnp.asarray(rng.randn(c, 3 * c).astype(np.float32) * 0.1),
+        bqkv=jnp.asarray(rng.randn(3 * c).astype(np.float32) * 0.1),
+        wproj=jnp.asarray(rng.randn(c, c).astype(np.float32) * 0.1),
+        bproj=jnp.asarray(rng.randn(c).astype(np.float32) * 0.1),
+    )
+    bias = jnp.asarray(rng.randn(1, nh, n, n).astype(np.float32) * 0.3)
+    for shift in (0, ws // 2):
+        mask = jnp.asarray(_pad_token_mask(h, w, hp, wp, ws, shift))
+        regions = (jnp.asarray(_shift_regions(hp, wp, ws, shift))
+                   if shift else None)
+        ref = attn_section_reference(x, mask, bias=bias, num_heads=nh,
+                                     regions=regions, **p)
+        for hg in (None, 1, 2, 4):
+            out = swin_attn_section_fused(
+                x, mask, bias=bias, num_heads=nh, regions=regions,
+                interpret=True, geom=(h, w, hp, wp, ws, shift), hg=hg, **p)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=2e-5, atol=2e-5)
+
+    # grad path (reference-vjp backward) stays wired with geom set
+    def loss(wqkv):
+        out = swin_attn_section_fused(
+            x, jnp.asarray(_pad_token_mask(h, w, hp, wp, ws, 3)),
+            p["gamma"], p["beta"], wqkv, p["bqkv"], p["wproj"], p["bproj"],
+            bias, nh, regions=jnp.asarray(_shift_regions(hp, wp, ws, 3)),
+            interpret=True, geom=(h, w, hp, wp, ws, 3))
+        return (out ** 2).mean()
+
+    g = jax.grad(loss)(p["wqkv"])
+    assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).max() > 0
