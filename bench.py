@@ -9,7 +9,7 @@ normalized against the per-chip share of the 8-chip target (250 tiles/s/chip).
 
 Flagship: convnext_pop / convnext-t in bf16 with the fused Pallas LN+MLP
 kernel and the commuted FPN-OCR decoder — the fastest family at parity
-(BASELINE.md: 255 t/s vs deeplab int8 164, pspnet int8 136, fused swin 94)
+(BASELINE.md: 255 t/s vs deeplab int8 164, pspnet int8 136, fused swin 95)
 AND the accuracy-parity path itself (logits match the torch reference at
 1e-3 with converted weights, tests/test_parity_more_heads.py).  The int8 PTQ
 serving mode for the resnet families (deeplab/pspnet, ~1.45x there) is

@@ -444,7 +444,8 @@ def make_inputs(stage, batch, dt=jnp.bfloat16, h_override=None):
                 # full-lane-tile variants of stage0/1 (c padded to 128-mult):
                 # measures whether the partial-tile DMA penalty (ioraw 8.2 ms
                 # vs 1.75 bound at c=96) vanishes at tile-aligned widths
-                "stage0p": (256, 128, 4), "stage1p": (128, 256, 8)}[stage]
+                "stage0p": (256, 128, 4), "stage1p": (128, 256, 8),
+                "stage3": (32, 768, 24)}[stage]
     if h_override is not None:
         h = h_override
     hp = ((h + WS - 1) // WS) * WS

@@ -446,12 +446,14 @@ def get_swin(name: str, dtype=jnp.float32, use_pallas: bool = False,
              fused_attn_stages="auto") -> SwinTransformer:
     cfg = _CONFIGS[name]
     if fused_attn_stages == "auto":
-        # measured per-stage ablation at 1024^2 b8 (benchmarks/
-        # swin_stage_variants.py): fused attention wins 1.55x/1.7x/1.53x at
-        # stages 0-2 but LOSES at stage 3 (6.97 vs 5.93 ms/2 blocks) — its
-        # 32^2 maps make one 16-window grid step that can't hide the fp32
-        # attention scratch behind the matmuls.
-        fused_attn_stages = (0, 1, 2)
+        # Per-stage gating by measurement.  v1 kernel (rounds 1-3): fused
+        # won 1.55x/1.7x/1.53x at stages 0-2 but LOST at stage 3 (6.97 vs
+        # 5.93 ms/2 blocks b8, benchmarks/swin_stage_variants.py).  The
+        # round-4 v2 kernel flips stage 3 decisively: its [NW,N,1]
+        # mask/region DMA — proportionally worst at stage 3's tiny window
+        # count — is gone, measuring 0.96 ms/pair at b16
+        # (benchmarks/swin_attn_hg.py stage3) vs ~11.9 for the XLA path.
+        fused_attn_stages = (0, 1, 2, 3)
     return SwinTransformer(dtype=dtype, use_pallas=use_pallas, fused_mlp=fused_mlp,
                            fused_attn=fused_attn,
                            fused_attn_stages=fused_attn_stages, **cfg)
