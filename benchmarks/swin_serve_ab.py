@@ -45,7 +45,7 @@ def main():
         _, pred = ev.predict_batch(staged, (TILE, TILE), want_logits=False)
     int(probe(pred))
     dt = (time.time() - t0) / ITERS
-    wr = os.environ.get("SEGLAND_SWIN_WR", "1")
+    wr = os.environ.get("SEGLAND_SWIN_WR", "0")  # match swin.py's default
     print(f"swin_pop/swin-s fused b{BATCH} WR={wr}: {dt*1000:.1f} ms/batch  "
           f"{BATCH/dt:.1f} tiles/s", flush=True)
 
