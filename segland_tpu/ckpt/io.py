@@ -37,9 +37,16 @@ def _to_host(tree):
 
     def conv(x):
         if getattr(x, "is_fully_addressable", True) is False:
+            sharding = getattr(x, "sharding", None)
+            if getattr(sharding, "is_fully_replicated", False):
+                # Multi-process DP: is_fully_addressable is False for ANY
+                # multi-process sharding, but a fully-replicated array has the
+                # complete value in every shard — materialize from one this
+                # process owns (the rank-0 torch.save analog).
+                return np.asarray(x.addressable_shards[0].data)
             raise NotImplementedError(
                 "checkpoint save: array is not fully addressable from this "
-                f"process (sharding {getattr(x, 'sharding', None)}); a "
+                f"process (sharding {sharding}); a "
                 "host-gathered save would be partial. All-process collective "
                 "saves are not wired — keep train state replicated across "
                 "hosts (DP) or save per-shard externally.")
