@@ -176,7 +176,8 @@ class SwinBlock(nn.Module):
     # windows into one kernel window via a block-diagonal bias (exact; see
     # ops/pallas_attn.py).  Turns the N=49/hd=32 per-head dots — far below
     # the 128-lane MXU tile — into full-tile matmuls at group-x the (small)
-    # score/ctx FLOPs.
+    # score/ctx FLOPs.  A v1-kernel knob: setting it != 1 routes the block
+    # to the v1 kernel (the default v2/geom kernel uses attn_hg instead).
     attn_group: int = 1
     # Head-group size for the round-4 v2 fused attention kernel (None =
     # measured default per num_heads; ops/pallas_attn._v2_hg_default)
@@ -239,7 +240,9 @@ class SwinBlock(nn.Module):
                 wins, mask_tok, g_ln, b_ln, wqkv, bqkv, wproj, bproj,
                 bias_arr, self.num_heads, eps=1e-5, regions=regions,
                 group=self.attn_group,
-                geom=(h, w, hp, wp, ws, self.shift_size), hg=self.attn_hg)
+                geom=((h, w, hp, wp, ws, self.shift_size)
+                      if self.attn_group == 1 else None),
+                hg=self.attn_hg)
             x = _window_reverse(wins, ws, b, hp, wp)
             if self.shift_size > 0:
                 x = jnp.roll(x, (self.shift_size, self.shift_size), axis=(1, 2))
@@ -320,7 +323,8 @@ class SwinBlock(nn.Module):
             wins, mask_tok, g_ln, b_ln, wqkv, bqkv, wproj, bproj,
             bias_arr, self.num_heads, eps=1e-5, regions=regions,
             group=self.attn_group,
-            geom=(h, w, hp, wp, ws, s), hg=self.attn_hg)
+            geom=((h, w, hp, wp, ws, s) if self.attn_group == 1 else None),
+            hg=self.attn_hg)
 
         gamma, beta = LNParams(c, name="norm2")()
         w1, b1 = DenseParams(c, int(c * self.mlp_ratio), name="mlp_fc1")()

@@ -487,6 +487,9 @@ def _attn_section_v2_pallas(x_win, geom, gamma, beta, wqkv, bqkv, wproj,
 
     n8 = ceil_to(n, 16 if itemsize == 2 else 8)
     n_real = n
+    # per-window biases (allowed by the older window_attention_fused
+    # contract) would be silently truncated by the bias[0] below
+    assert bias.shape[0] == 1, f"v2 kernel needs a shared bias, got {bias.shape}"
     bias = bias.astype(jnp.float32)
     if n8 != n:
         x_win = jnp.pad(x_win, ((0, 0), (0, n8 - n), (0, 0)))
@@ -654,6 +657,12 @@ def swin_attn_section_fused(x_win, mask_tok, gamma, beta, wqkv, bqkv, wproj,
     (consistent with geom) — they feed the XLA fallback and backward.
     hg: head-group size (None = measured default for num_heads).
     """
+    if geom is not None and group != 1:
+        # the v2 (geom) kernel uses head-grouping (hg) instead of
+        # super-window grouping; silently ignoring group would make the
+        # attn_group knob a no-op (round-4 advisor finding)
+        raise ValueError("group != 1 is a v1-kernel knob; with geom set "
+                         "(v2 kernel) use hg= head-grouping instead")
     if not interpret:
         from .pallas_mlp import force_interpret
 
