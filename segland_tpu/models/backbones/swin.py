@@ -12,6 +12,7 @@ static under jit) instead of on-device tensor surgery
 (reference swintransformer.py:360-379).
 """
 
+import os
 from typing import Any, Sequence
 
 import numpy as np
@@ -182,6 +183,12 @@ class SwinBlock(nn.Module):
     # Head-group size for the round-4 v2 fused attention kernel (None =
     # measured default per num_heads; ops/pallas_attn._v2_hg_default)
     attn_hg: Any = None
+    # Round-5 whole-block kernel (ops/pallas_attn.swin_block_fused):
+    # attention section + MLP in ONE Pallas call, halving the slow
+    # Pallas-DMA round trips on the block activations.  Engages only with
+    # fused_attn + fused_mlp + attn_group==1 and no active DropPath (the
+    # two-branch stochastic-depth recovery needs the intermediate).
+    fused_block: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -231,23 +238,42 @@ class SwinBlock(nn.Module):
             mask_tok = jnp.asarray(
                 _pad_token_mask(h, w, hp, wp, ws, self.shift_size))
 
+            use_block = (self.fused_block and self.fused_mlp
+                         and self.attn_group == 1 and not dp)
             if pad_b or pad_r:
                 x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
             if self.shift_size > 0:
                 x = jnp.roll(x, (-self.shift_size, -self.shift_size), axis=(1, 2))
             wins = _window_partition(x, ws)
-            wins = swin_attn_section_fused(
-                wins, mask_tok, g_ln, b_ln, wqkv, bqkv, wproj, bproj,
-                bias_arr, self.num_heads, eps=1e-5, regions=regions,
-                group=self.attn_group,
-                geom=((h, w, hp, wp, ws, self.shift_size)
-                      if self.attn_group == 1 else None),
-                hg=self.attn_hg)
+            if use_block:
+                from ...ops.pallas_attn import swin_block_fused
+                from .fused import DenseParams
+
+                gamma2, beta2 = LNParams(c, name="norm2")()
+                hid = int(c * self.mlp_ratio)
+                w1, b1 = DenseParams(c, hid, name="mlp_fc1")()
+                w2, b2 = DenseParams(hid, c, name="mlp_fc2")()
+                wins = swin_block_fused(
+                    wins, mask_tok, g_ln, b_ln, wqkv, bqkv, wproj, bproj,
+                    bias_arr, gamma2, beta2, w1, b1, w2, b2,
+                    self.num_heads, eps=1e-5, regions=regions,
+                    geom=(h, w, hp, wp, ws, self.shift_size),
+                    hg=self.attn_hg)
+            else:
+                wins = swin_attn_section_fused(
+                    wins, mask_tok, g_ln, b_ln, wqkv, bqkv, wproj, bproj,
+                    bias_arr, self.num_heads, eps=1e-5, regions=regions,
+                    group=self.attn_group,
+                    geom=((h, w, hp, wp, ws, self.shift_size)
+                          if self.attn_group == 1 else None),
+                    hg=self.attn_hg)
             x = _window_reverse(wins, ws, b, hp, wp)
             if self.shift_size > 0:
                 x = jnp.roll(x, (self.shift_size, self.shift_size), axis=(1, 2))
             if pad_b or pad_r:
                 x = x[:, :h, :w, :]
+            if use_block:
+                return x  # whole block (attn + MLP) done in one kernel
             # residual was added inside the kernel (on the padded/rolled
             # domain, where it commutes with reverse/unroll/unpad); recover
             # the branch for stochastic depth as (out - shortcut)
@@ -371,6 +397,10 @@ class SwinTransformer(nn.Module):
     # gating lets the measured winner run at each resolution.  Param trees
     # are identical either way, so this is a pure dispatch decision.
     fused_attn_stages: Any = None
+    # Stages where the round-5 whole-block (attn+MLP single-kernel) path
+    # engages (None = none).  Requires fused_attn + fused_mlp at that stage;
+    # eval-only per block (DropPath falls back).  Param trees identical.
+    fused_block_stages: Any = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -428,13 +458,16 @@ class SwinTransformer(nn.Module):
                     )(wins, train=train, win_shape=(bh, hh, ww, hp, wp))
                 x = _window_reverse(wins, ws, bh, hp, wp)[:, :hh, :ww, :]
             else:
+                fb = (fa and self.fused_mlp
+                      and self.fused_block_stages is not None
+                      and i in self.fused_block_stages)
                 for j in range(depth):
                     x = SwinBlock(
                         dim, self.num_heads[i], self.window_size,
                         shift_size=0 if j % 2 == 0 else self.window_size // 2,
                         drop_path=dpr[cur + j],
                         use_pallas=self.use_pallas, fused_mlp=self.fused_mlp,
-                        fused_attn=fa,
+                        fused_attn=fa, fused_block=fb,
                         dtype=self.dtype, name=f"layers_{i}_blocks_{j}",
                     )(x, train=train)
             cur += depth
@@ -447,8 +480,19 @@ class SwinTransformer(nn.Module):
 
 def get_swin(name: str, dtype=jnp.float32, use_pallas: bool = False,
              fused_mlp: bool = False, fused_attn: bool = False,
-             fused_attn_stages="auto") -> SwinTransformer:
+             fused_attn_stages="auto",
+             fused_block_stages="auto") -> SwinTransformer:
     cfg = _CONFIGS[name]
+    if fused_block_stages == "auto":
+        # A/B override for on-chip measurement (trace-time): "all", "none",
+        # or a comma list like "0,1,2".  Default pending the round-5 A/B.
+        env = os.environ.get("SEGLAND_SWIN_V3_STAGES", "")
+        if env == "all":
+            fused_block_stages = (0, 1, 2, 3)
+        elif env in ("", "none"):
+            fused_block_stages = None
+        else:
+            fused_block_stages = tuple(int(s) for s in env.split(","))
     if fused_attn_stages == "auto":
         # Per-stage gating by measurement.  v1 kernel (rounds 1-3): fused
         # won 1.55x/1.7x/1.53x at stages 0-2 but LOST at stage 3 (6.97 vs
@@ -460,4 +504,5 @@ def get_swin(name: str, dtype=jnp.float32, use_pallas: bool = False,
         fused_attn_stages = (0, 1, 2, 3)
     return SwinTransformer(dtype=dtype, use_pallas=use_pallas, fused_mlp=fused_mlp,
                            fused_attn=fused_attn,
-                           fused_attn_stages=fused_attn_stages, **cfg)
+                           fused_attn_stages=fused_attn_stages,
+                           fused_block_stages=fused_block_stages, **cfg)

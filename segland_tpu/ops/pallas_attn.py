@@ -22,6 +22,7 @@ Output: [NW, N, C] attention output (pre-projection).
 """
 
 import functools
+import os
 
 import numpy as np
 
@@ -344,11 +345,13 @@ def _attn_section_pallas(x_win, mask_tok, regions, gamma, beta, wqkv, bqkv,
     return out[:, :n_real, :] if n_real != n_orig else out
 
 
-def _attn_section_v2_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref,
-                            wproj_ref, bproj_ref, bias_ref, out_ref, *,
-                            num_heads, head_dim, hg, eps, wblk, geom,
-                            score_f32=True):
-    """Round-4 attention-section kernel (benchmarks/swin_attn_hg.py).
+def _v2_attn_body(x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref,
+                  wproj_ref, bproj_ref, bias_ref, *,
+                  num_heads, head_dim, hg, eps, wblk, geom,
+                  score_f32=True):
+    """Round-4 attention-section kernel body (benchmarks/swin_attn_hg.py).
+    Returns the post-residual [wblk, n, c] activation; shared by the
+    attention-only v2 kernel and the round-5 whole-block (attn+MLP) kernel.
 
     Two changes vs _attn_section_kernel, both from the round-4 roofline:
 
@@ -451,7 +454,56 @@ def _attn_section_v2_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     out = acc.astype(cdt) + bproj_ref[0].astype(cdt)
-    out_ref[:] = x_ref[:] + out.reshape(wblk, n, c)
+    return x_ref[:] + out.reshape(wblk, n, c)
+
+
+def _attn_section_v2_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref,
+                            wproj_ref, bproj_ref, bias_ref, out_ref, *,
+                            num_heads, head_dim, hg, eps, wblk, geom,
+                            score_f32=True):
+    out_ref[:] = _v2_attn_body(
+        x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+        bias_ref, num_heads=num_heads, head_dim=head_dim, hg=hg, eps=eps,
+        wblk=wblk, geom=geom, score_f32=score_f32)
+
+
+def _block_v3_kernel(x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref,
+                     wproj_ref, bproj_ref, bias_ref, gamma2_ref, beta2_ref,
+                     w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
+                     num_heads, head_dim, hg, eps, wblk, geom):
+    """Round-5 whole-block kernel: attention section + LN2+MLP+residual in
+    ONE VMEM pass.  The round-4 io decomposition showed the Pallas block-DMA
+    path sustains only ~120-175 GB/s on these window shapes (vs XLA's ~819),
+    so the dominant recoverable cost of the two-kernel block was the MLP
+    kernel re-reading and re-writing the same [NW, N, C] activations the
+    attention kernel had just written — fusing halves the slow-path round
+    trips (reference block = attn + MLP, swintransformer.py:171-190).
+
+    The MLP also runs over the n8-padded phantom tokens and any pad tokens
+    (token-local garbage rows, sliced/unpadded away by the caller) — ~30%
+    extra MXU flops at N=49->64, repaying a full HBM round trip."""
+    a = _v2_attn_body(
+        x_ref, gamma_ref, beta_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+        bias_ref, num_heads=num_heads, head_dim=head_dim, hg=hg, eps=eps,
+        wblk=wblk, geom=geom)
+    from .pallas_mlp import _gelu_exact_poly, _gelu_tanh
+
+    _, n, c = a.shape
+    cdt = a.dtype
+    a2 = a.reshape(wblk * n, c)
+    af = a2.astype(jnp.float32)
+    mu = jnp.mean(af, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(af * af, axis=-1, keepdims=True) - mu * mu, 0.0)
+    y = (af - mu) * lax.rsqrt(var + eps)
+    y = (y * gamma2_ref[0].astype(jnp.float32)
+         + beta2_ref[0].astype(jnp.float32)).astype(cdt)
+    hmid = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32)
+    hmid = hmid.astype(cdt) + b1_ref[0].astype(cdt)
+    gelu = _gelu_tanh if cdt == jnp.bfloat16 else _gelu_exact_poly
+    hmid = gelu(hmid.astype(jnp.float32)).astype(cdt)
+    o = jnp.dot(hmid, w2_ref[:], preferred_element_type=jnp.float32)
+    o = o.astype(cdt) + b2_ref[0].astype(cdt)
+    out_ref[:] = (a2 + o).reshape(wblk, n, c)
 
 
 # num_heads -> head-group size; measured on-chip (BASELINE.md round-4
@@ -695,3 +747,191 @@ def window_attention_reference(qkv: jnp.ndarray, bias: jnp.ndarray, num_heads: i
     attn = jax.nn.softmax(attn, axis=-1).astype(qkv.dtype)
     out = jnp.einsum("whnm,whmd->whnd", attn, v)
     return out.transpose(0, 2, 1, 3).reshape(nw, n, c)
+
+# ---------------------------------------------------------------------------
+# Round-5 whole-block fusion: attention section + MLP in one kernel
+# ---------------------------------------------------------------------------
+
+
+def block_reference(x_win, mask_tok, gamma, beta, wqkv, bqkv, wproj, bproj,
+                    bias, gamma2, beta2, w1, b1, w2, b2, num_heads,
+                    eps=1e-5, regions=None):
+    """Pure-XLA reference for the fused block (tests/fallback/backward):
+    attention section then LN2+MLP+residual (reference block structure,
+    swintransformer.py:171-190)."""
+    from .pallas_mlp import ln_mlp_reference
+
+    a = attn_section_reference(x_win, mask_tok, gamma, beta, wqkv, bqkv,
+                               wproj, bproj, bias, num_heads, eps,
+                               regions=regions)
+    nw, n, c = a.shape
+    out = ln_mlp_reference(a.reshape(nw * n, c), gamma2, beta2, w1, b1, w2,
+                           b2, eps=eps)
+    return out.reshape(nw, n, c)
+
+
+def _swin_block_v3_pallas(x_win, geom, gamma, beta, wqkv, bqkv, wproj, bproj,
+                          bias, gamma2, beta2, w1, b1, w2, b2, num_heads,
+                          eps, interpret, hg=None, wblk=None):
+    """geom = (h, w, hp, wp, ws, shift); bias [1, nh, N, N] rel-pos only.
+    Same prologue as _attn_section_v2_pallas (token padding to a sublane
+    multiple, head-grouped bias layout, measured wblk fit boundaries)."""
+    h, w, hp, wp, ws, shift = geom
+    nw, n, c = x_win.shape
+    hd = c // num_heads
+    cdt = x_win.dtype
+    itemsize = x_win.dtype.itemsize
+    hidden = w1.shape[1]
+    if hg is None:
+        hg = _v2_hg_default(num_heads)
+    assert num_heads % hg == 0
+    assert bias.shape[0] == 1, f"v3 kernel needs a shared bias, got {bias.shape}"
+
+    def ceil_to(v, m):
+        return -(-v // m) * m
+
+    n8 = ceil_to(n, 16 if itemsize == 2 else 8)
+    n_real = n
+    bias = bias.astype(jnp.float32)
+    if n8 != n:
+        x_win = jnp.pad(x_win, ((0, 0), (0, n8 - n), (0, 0)))
+        keymask = jnp.where(jnp.arange(n8) >= n, -1e9, 0.0).astype(jnp.float32)
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, n8 - n), (0, n8 - n)))
+        bias = bias + keymask[None, None, None, :]
+        n = n8
+
+    bias_g = (bias[0].reshape(num_heads // hg, hg, n, n)
+              .transpose(0, 2, 1, 3).reshape(num_heads // hg, n, hg * n)
+              [None].astype(cdt))
+
+    env_wblk = os.environ.get("SEGLAND_SWIN_V3_WBLK", "")
+    if wblk is None and env_wblk:
+        wblk = int(env_wblk)
+    if wblk is None:
+        # start from the v2 fit boundaries; the resident-weight set grows by
+        # the MLP's 8c^2, so drop one notch at the widest stages
+        wblk = 32 if c <= 192 else (16 if c <= 384 else 8)
+        wblk = max(1, min(wblk, nw))
+
+    grid = (-(-nw // wblk),)
+    nw_padded = grid[0] * wblk
+    if nw_padded != nw:
+        x_win = jnp.pad(x_win, ((0, nw_padded - nw), (0, 0), (0, 0)))
+
+    vec = lambda a: a.reshape(1, -1).astype(jnp.float32)
+    kernel = functools.partial(
+        _block_v3_kernel, num_heads=num_heads, head_dim=hd, hg=hg,
+        eps=eps, wblk=wblk, geom=(h, w, hp, wp, ws, shift, n_real))
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nw_padded, n, c), cdt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((wblk, n, c), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3 * c), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * c), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_heads // hg, n, hg * n),
+                         lambda j: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, hidden), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, c), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((wblk, n, c), lambda j: (j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nw * n * c * (4 * c + 2 * hg * n + 2 * hidden),
+            bytes_accessed=2 * nw * n * c * itemsize,
+            transcendentals=nw * (num_heads * n * n + n * hidden),
+        ),
+        interpret=interpret,
+    )(x_win, vec(gamma), vec(beta), wqkv.astype(cdt), vec(bqkv),
+      wproj.astype(cdt), vec(bproj), bias_g, vec(gamma2), vec(beta2),
+      w1.astype(cdt), vec(b1), w2.astype(cdt), vec(b2))
+    if nw_padded != nw:
+        out = out[:nw]
+    return out[:, :n_real, :] if n_real != n else out
+
+
+def _block_dispatch(x_win, mask_tok, regions, gamma, beta, wqkv, bqkv, wproj,
+                    bproj, bias, gamma2, beta2, w1, b1, w2, b2, num_heads,
+                    eps, interpret, geom, hg):
+    return _swin_block_v3_pallas(x_win, geom, gamma, beta, wqkv, bqkv, wproj,
+                                 bproj, bias, gamma2, beta2, w1, b1, w2, b2,
+                                 num_heads, eps, interpret, hg=hg)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(16, 17, 18, 19, 20))
+def _swin_block(x_win, mask_tok, regions, gamma, beta, wqkv, bqkv, wproj,
+                bproj, bias, gamma2, beta2, w1, b1, w2, b2, num_heads, eps,
+                interpret, geom, hg):
+    return _block_dispatch(x_win, mask_tok, regions, gamma, beta, wqkv, bqkv,
+                           wproj, bproj, bias, gamma2, beta2, w1, b1, w2, b2,
+                           num_heads, eps, interpret, geom, hg)
+
+
+def _swin_block_fwd(x_win, mask_tok, regions, gamma, beta, wqkv, bqkv, wproj,
+                    bproj, bias, gamma2, beta2, w1, b1, w2, b2, num_heads,
+                    eps, interpret, geom, hg):
+    out = _block_dispatch(x_win, mask_tok, regions, gamma, beta, wqkv, bqkv,
+                          wproj, bproj, bias, gamma2, beta2, w1, b1, w2, b2,
+                          num_heads, eps, interpret, geom, hg)
+    return out, (x_win, mask_tok, regions, gamma, beta, wqkv, bqkv, wproj,
+                 bproj, bias, gamma2, beta2, w1, b1, w2, b2)
+
+
+def _swin_block_bwd(num_heads, eps, interpret, geom, hg, saved, g):
+    (x_win, mask_tok, regions, gamma, beta, wqkv, bqkv, wproj, bproj, bias,
+     gamma2, beta2, w1, b1, w2, b2) = saved
+
+    def f(x_win_, gamma_, beta_, wqkv_, bqkv_, wproj_, bproj_, bias_,
+          gamma2_, beta2_, w1_, b1_, w2_, b2_):
+        return block_reference(x_win_, mask_tok, gamma_, beta_, wqkv_, bqkv_,
+                               wproj_, bproj_, bias_, gamma2_, beta2_, w1_,
+                               b1_, w2_, b2_, num_heads, eps, regions=regions)
+
+    _, vjp = jax.vjp(f, x_win, gamma, beta, wqkv, bqkv, wproj, bproj, bias,
+                     gamma2, beta2, w1, b1, w2, b2)
+    (dx, dg, db, dwq, dbq, dwp, dbp, dbias, dg2, db2, dw1, db1_, dw2,
+     db2_) = vjp(g)
+    return (dx, jnp.zeros_like(mask_tok),
+            None if regions is None else jnp.zeros_like(regions),
+            dg, db, dwq, dbq, dwp, dbp, dbias, dg2, db2, dw1, db1_, dw2,
+            db2_)
+
+
+_swin_block.defvjp(_swin_block_fwd, _swin_block_bwd)
+
+
+def swin_block_fused(x_win, mask_tok, gamma, beta, wqkv, bqkv, wproj, bproj,
+                     bias, gamma2, beta2, w1, b1, w2, b2, num_heads,
+                     eps=1e-5, regions=None, interpret=False, geom=None,
+                     hg=None):
+    """Whole swin block (attention section + LN2+MLP+residual) in ONE Pallas
+    kernel — the round-5 answer to the measured ~6x Pallas block-DMA-rate gap
+    (BASELINE.md round-4 addendum): the two-kernel block paid that slow path
+    twice per block on the same [NW, N, C] activations.
+
+    Contract matches swin_attn_section_fused plus the MLP params; geom is
+    REQUIRED for the Pallas path (index-math masks).  Falls back to the XLA
+    reference off-TPU.  Backward recomputes the XLA reference (training-safe,
+    same pattern as the two-kernel path).
+    """
+    assert geom is not None, "swin_block_fused requires geom (v2-style masks)"
+    if not interpret:
+        from .pallas_mlp import force_interpret
+
+        interpret = force_interpret()
+    if not (interpret or jax.default_backend() == "tpu"):
+        return block_reference(x_win, mask_tok, gamma, beta, wqkv, bqkv,
+                               wproj, bproj, bias, gamma2, beta2, w1, b1, w2,
+                               b2, num_heads, eps, regions=regions)
+    return _swin_block(x_win, mask_tok, regions, gamma, beta, wqkv, bqkv,
+                       wproj, bproj, bias, gamma2, beta2, w1, b1, w2, b2,
+                       num_heads, eps, interpret, geom, hg)
