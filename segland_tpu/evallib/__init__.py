@@ -1,2 +1,3 @@
 from .infer import Evaluator
 from .fuse import fuse_prob_dirs
+from .ensemble import EnsembleEvaluator

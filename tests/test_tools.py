@@ -77,3 +77,36 @@ def test_gen_new_samples(tmp_path):
     assert len(lst) == 2
     lab = np.asarray(Image.open(out / "label" / f"{lst[0]}.tif"))
     assert 30 not in np.unique(lab) and 9 in np.unique(lab)  # sentinel remapped
+
+
+def test_ensemble_evaluator_matches_fusemat_semantics(tmp_path, rng):
+    """Device-side EnsembleEvaluator (one jit through all members, mean
+    logits, argmax) == the host fusemat protocol (per-model prob export ->
+    mean -> argmax) on the same batch — the TPU-native contest config."""
+    import jax
+    import jax.numpy as jnp
+
+    from segland_tpu.evallib import EnsembleEvaluator
+    from segland_tpu.models import build_model
+    from segland_tpu.ops.resize import resize_bilinear
+
+    members = []
+    for seed in (0, 1, 2):
+        model = build_model("pspnet_pop", backbone="resnet10", n_base=7)
+        img0 = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(seed), img0, train=False)
+        members.append((model, variables))
+
+    img = rng.rand(2, 32, 32, 3).astype(np.float32)
+    ens = EnsembleEvaluator(members, num_classes=8, n_base=7)
+    pred = np.asarray(ens.predict_batch(img, (32, 32)))
+
+    # host-side fusemat semantics: mean of per-member upsampled logits
+    acc = None
+    for model, variables in members:
+        lg = model.apply(variables, jnp.asarray(img), train=False)
+        lg = np.asarray(resize_bilinear(lg.astype(jnp.float32), (32, 32),
+                                        align_corners=True))
+        acc = lg if acc is None else acc + lg
+    ref = (acc / len(members)).argmax(-1).astype(np.uint8)
+    np.testing.assert_array_equal(pred, ref)
