@@ -17,16 +17,17 @@ run() {
 run blockab_s0 python benchmarks/swin_block_ab.py stage0 16 default,16,8
 run blockab_s1 python benchmarks/swin_block_ab.py stage1 16 default,16
 run blockab_s2 python benchmarks/swin_block_ab.py stage2 16 default,8
-run blockab_s3 python benchmarks/swin_block_ab.py stage3 16 default,4
+run blockab_s3 python benchmarks/swin_block_ab.py stage3 16 4,2
 
 # 2) end-to-end serve A/B (two-kernel default vs whole-block all stages)
 run serve_base python benchmarks/swin_serve_ab.py
-SEGLAND_SWIN_V3_STAGES=all run serve_v3 python benchmarks/swin_serve_ab.py
+SEGLAND_SWIN_V3_STAGES=0,1,2 run serve_v3 python benchmarks/swin_serve_ab.py
 
 # 3) train roofline: per-family table, then flagship deep-dive, then fused A/B
 TMO=5400 run roofline_families python benchmarks/train_roofline.py families
 TMO=3600 run roofline_convnext python benchmarks/train_roofline.py convnext
 TMO=3600 run roofline_fused python benchmarks/train_roofline.py fused_ab
+TMO=3600 run roofline_devaug python benchmarks/train_roofline.py devaug
 
 # 4) on-chip Mosaic accuracy gates (trained models)
 TMO=5400 run tpu_gates python benchmarks/tpu_accuracy_gates.py

@@ -70,22 +70,43 @@ def _time_step(step, state, *args, iters=ITERS):
 
 
 def bench_family(model_name, backbone, batch, size=768, dtype=jnp.bfloat16,
-                 fused=False, packed_train=None, label=""):
+                 fused=False, packed_train=None, label="", device_aug=False):
     model = build_model(model_name, backbone=backbone, n_base=7, dtype=dtype,
                         fused_mlp=fused, fused_attn=fused,
                         packed_train=packed_train)
-    img = jax.random.normal(jax.random.PRNGKey(1), (batch, size, size, 3),
-                            jnp.float32)
-    mask = jax.random.randint(jax.random.PRNGKey(2), (batch, size, size), 0, 8)
+    if device_aug:
+        # the CLI --device-augment protocol: raw uint8 1024^2 tiles in, the
+        # whole crop/flip/rot/normalize chain inside the jitted step
+        img = jax.random.randint(jax.random.PRNGKey(1),
+                                 (batch, 1024, 1024, 3), 0, 256, jnp.uint8)
+        mask = jax.random.randint(jax.random.PRNGKey(2), (batch, 1024, 1024),
+                                  0, 8)
+    else:
+        img = jax.random.normal(jax.random.PRNGKey(1), (batch, size, size, 3),
+                                jnp.float32)
+        mask = jax.random.randint(jax.random.PRNGKey(2), (batch, size, size),
+                                  0, 8)
     variables = jax.jit(lambda k, x: model.init({"params": k, "dropout": k},
                                                 x, train=True))(
-        jax.random.PRNGKey(0), img[:1, :64, :64])
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
     tx = create_optimizer(variables["params"], 1e-3, num_epochs=200,
                           steps_per_epoch=64)
     state = create_train_state(model, variables, tx)
-    raw = make_base_train_step(model)
+    augment_fn = None
+    if device_aug:
+        import functools
+
+        from segland_tpu.ops.device_aug import base_train_augment
+
+        augment_fn = functools.partial(base_train_augment,
+                                       crop_size=(size, size),
+                                       return_stats=True)
+    raw = make_base_train_step(model, augment_fn=augment_fn)
 
     # ---- fwd only: loss scalar ------------------------------------------
+    t_fwd = t_fb = float("nan")
+    flops = None
+
     def fwd(state, img, mask):
         from segland_tpu.losses import orth_loss
 
@@ -96,28 +117,28 @@ def bench_family(model_name, backbone, batch, size=768, dtype=jnp.bfloat16,
             method=type(model).forward_base)
         return orth_loss(logits, mask, sim)["total_loss"]
 
-    fwd_j = jax.jit(fwd)
-    t_fwd = _time_scalar(fwd_j, state, img, mask)
+    if not device_aug:
+        fwd_j = jax.jit(fwd)
+        t_fwd = _time_scalar(fwd_j, state, img, mask)
 
-    # ---- fwd+bwd: grad-norm scalar, no update ---------------------------
-    def fwdbwd(state, img, mask):
-        import optax
+        # ---- fwd+bwd: grad-norm scalar, no update -----------------------
+        def fwdbwd(state, img, mask):
+            import optax
 
-        g = jax.grad(lambda p: fwd(state.replace(params=p), img, mask))(
-            state.params)
-        return optax.global_norm(g)
+            g = jax.grad(lambda p: fwd(state.replace(params=p), img, mask))(
+                state.params)
+            return optax.global_norm(g)
 
-    fb_j = jax.jit(fwdbwd)
-    t_fb = _time_scalar(fb_j, state, img, mask)
+        fb_j = jax.jit(fwdbwd)
+        t_fb = _time_scalar(fb_j, state, img, mask)
 
-    flops = None
-    try:
-        ca = fb_j.lower(state, img, mask).compile().cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        flops = ca.get("flops")
-    except Exception:
-        pass
+        try:
+            ca = fb_j.lower(state, img, mask).compile().cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            flops = ca.get("flops")
+        except Exception:
+            pass
 
     # ---- full silent donated step (the CLI protocol) --------------------
     def silent(state, img, mask):
@@ -129,7 +150,8 @@ def bench_family(model_name, backbone, batch, size=768, dtype=jnp.bfloat16,
 
     pct = (flops / (t_fb / 1e3) / V5E_BF16_PEAK * 100.0) if flops else float("nan")
     print(f"ROOFLINE {model_name}/{backbone} b{batch} {size}^2 fused={fused} "
-          f"packed={packed_train}{label}: fwd {t_fwd:.1f} | fwd+bwd {t_fb:.1f} "
+          f"packed={packed_train} devaug={device_aug}{label}: fwd {t_fwd:.1f} "
+          f"| fwd+bwd {t_fb:.1f} "
           f"| step {t_step:.1f} ms ({batch / (t_step / 1e3):.1f} crops/s) | "
           f"update {t_step - t_fb:.1f} | bwd/fwd {(t_fb - t_fwd) / max(t_fwd, 1e-9):.2f} "
           f"| flops {flops if flops else 'n/a'} -> {pct:.0f}% bf16 peak",
@@ -168,6 +190,14 @@ def main():
                             ("lsk_pop", "lsk-t", 8)):
             bench_family(name, bb, b, fused=False)
             bench_family(name, bb, b, fused=True)
+    elif which == "devaug":
+        # --device-augment beyond pspnet (VERDICT r4 item 2): step-time cost
+        # of moving the whole host aug chain into the jit, per family
+        for name, bb, b in (("seghr_pop", "hr-w32", 4),
+                            ("convnext_pop", "convnext-t", 16),
+                            ("swin_pop", "swin-s", 4)):
+            bench_family(name, bb, b, device_aug=False)
+            bench_family(name, bb, b, device_aug=True)
     else:
         name, bb, b = sys.argv[1], sys.argv[2], int(sys.argv[3])
         size = int(sys.argv[4]) if len(sys.argv) > 4 and sys.argv[4].isdigit() else 768

@@ -822,10 +822,21 @@ def _swin_block_v3_pallas(x_win, geom, gamma, beta, wqkv, bqkv, wproj, bproj,
     kernel = functools.partial(
         _block_v3_kernel, num_heads=num_heads, head_dim=hd, hg=hg,
         eps=eps, wblk=wblk, geom=(h, w, hp, wp, ws, shift, n_real))
+    cp = {}
+    # resident weights grow to 12c^2 (attn 4c^2 + MLP 8c^2): ~3.5 MB bf16 at
+    # c=384, ~14 MB at c=768 — beyond the default scoped budget.  A larger
+    # vmem_limit is required at the widest stages (measured round 4:
+    # vmem_limit_bytes genuinely unlocks bigger kernels).
+    vmem_mb = os.environ.get("SEGLAND_SWIN_V3_VMEM_MB", "")
+    vmem_mb = int(vmem_mb) if vmem_mb else (96 if c >= 384 else None)
+    if vmem_mb:
+        cp["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 1024 * 1024)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((nw_padded, n, c), cdt),
         grid=grid,
+        **cp,
         in_specs=[
             pl.BlockSpec((wblk, n, c), lambda j: (j, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda j: (0, 0), memory_space=pltpu.VMEM),
