@@ -29,9 +29,6 @@ TMO=3600 run roofline_convnext python benchmarks/train_roofline.py convnext
 TMO=3600 run roofline_fused python benchmarks/train_roofline.py fused_ab
 TMO=3600 run roofline_devaug python benchmarks/train_roofline.py devaug
 
-# 4) on-chip Mosaic accuracy gates (trained models)
-TMO=5400 run tpu_gates python benchmarks/tpu_accuracy_gates.py
-
 # 5) ensemble serving pricing
 run ensemble python benchmarks/ensemble_serve.py 16
 
