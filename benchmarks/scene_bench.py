@@ -46,41 +46,61 @@ def build(size, dtype=jnp.bfloat16, fused=True):
 
 
 def chip(size=4096, overlap=128, batch=8):
-    from segland_tpu.evallib.tiled import predict_scene
+    from segland_tpu.evallib.tiled import predict_scene, predict_scene_device
+    from segland_tpu.models import build_model
+    from segland_tpu.ops.resize import resize_bilinear
 
     print(f"devices: {jax.devices()}", flush=True)
     ev = build(size)
     rng = np.random.RandomState(0)
     scene = rng.rand(size, size, 3).astype(np.float32)
 
+    def apply_fn(variables, tiles):
+        lg = ev.model.apply(variables, tiles, train=False)
+        return resize_bilinear(lg.astype(jnp.float32), (1024, 1024),
+                               align_corners=True)
+
+    # device-resident stitching (the production cli/predict path): scene up
+    # once, uint8 map back once
+    for it in range(3):
+        t0 = time.time()
+        pred = predict_scene_device(apply_fn, ev.variables, scene,
+                                    num_classes=8, tile=1024,
+                                    overlap=overlap, batch=batch)
+        dt = time.time() - t0
+        mpx = size * size / 1e6
+        tag = "compile+run" if it == 0 else f"iter{it}"
+        print(f"scene {size}^2 DEVICE-stitch overlap={overlap} b{batch} "
+              f"{tag}: {dt:.2f}s = {dt * 1000 / mpx:.1f} ms/Mpx "
+              f"({mpx / dt:.1f} Mpx/s)", flush=True)
+
+    # host-stitch arm for comparison (fetches fp32 logits per batch)
     def pb(tiles):
         logits, _ = ev.predict_batch(tiles, (1024, 1024), want_logits=True)
         return logits
 
-    # warm (compile) on one batch
     t0 = time.time()
-    _ = pb(scene[None, :1024, :1024].repeat(batch, 0))
-    print(f"compile+first batch: {time.time() - t0:.1f}s", flush=True)
+    _, pred = predict_scene(pb, scene, num_classes=8, tile=1024,
+                            overlap=overlap, batch=batch)
+    dt = time.time() - t0
+    mpx = size * size / 1e6
+    print(f"scene {size}^2 HOST-stitch: {dt:.2f}s = "
+          f"{dt * 1000 / mpx:.1f} ms/Mpx", flush=True)
 
-    for it in range(2):
-        t0 = time.time()
-        logits, pred = predict_scene(pb, scene, num_classes=8, tile=1024,
-                                     overlap=overlap, batch=batch)
-        dt = time.time() - t0
-        mpx = size * size / 1e6
-        print(f"scene {size}^2 overlap={overlap} b{batch} iter{it}: "
-              f"{dt:.2f}s = {dt * 1000 / mpx:.1f} ms/Mpx "
-              f"({mpx / dt:.1f} Mpx/s)", flush=True)
-    # an un-tiled upper bound for context: the same pixels as plain batches
+    # device-compute bound: same tile count, staged batch, pred-only
     n_tiles = (size // 1024) ** 2
-    imgs = scene[:1024, :1024][None].repeat(batch, 0)
+    staged = (jnp.asarray(scene[:1024, :1024][None].repeat(batch, 0)), batch)
+    for _ in range(2):
+        _, pred = ev.predict_batch(staged, (1024, 1024), want_logits=False)
+    np.asarray(pred)
     t0 = time.time()
-    for _ in range(n_tiles // batch):
-        _, pred = ev.predict_batch(imgs, (1024, 1024), want_logits=False)
+    for _ in range(max(1, n_tiles // batch)):
+        _, pred = ev.predict_batch(staged, (1024, 1024), want_logits=False)
     np.asarray(pred)
     dt = time.time() - t0
-    print(f"non-overlap bound ({n_tiles} plain tiles, pred-only): {dt:.2f}s "
-          f"= {dt * 1000 / (size * size / 1e6):.1f} ms/Mpx", flush=True)
+    print(f"device-compute bound ({n_tiles} staged tiles, pred-only): "
+          f"{dt:.2f}s = {dt * 1000 / (size * size / 1e6):.1f} ms/Mpx",
+          flush=True)
 
 
 def exact():

@@ -117,7 +117,11 @@ def bench_family(model_name, backbone, batch, size=768, dtype=jnp.bfloat16,
             method=type(model).forward_base)
         return orth_loss(logits, mask, sim)["total_loss"]
 
-    if not device_aug:
+    # SEGLAND_ROOFLINE_STEPONLY=1: skip the fwd / fwd+bwd probe programs
+    # (their giant one-off compiles crashed the remote compile helper on
+    # hrnet's fuse lattice) and measure only the production step
+    steponly = os.environ.get("SEGLAND_ROOFLINE_STEPONLY", "") == "1"
+    if not device_aug and not steponly:
         fwd_j = jax.jit(fwd)
         t_fwd = _time_scalar(fwd_j, state, img, mask)
 

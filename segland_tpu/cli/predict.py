@@ -9,6 +9,7 @@ import argparse
 import os
 
 import numpy as np
+import jax.numpy as jnp
 
 from .common import add_common_args, model_dtype
 from .eval_base import _load_variables
@@ -66,10 +67,31 @@ def main(argv=None):
     for path in paths:
         image = read_image(path)
         image = A.normalize(image, A.IMAGENET_MEAN, A.IMAGENET_STD)
-        _, pred = predict_scene(
-            predict_batch, image.astype(np.float32), n_classes,
-            tile=args.tile, overlap=args.overlap, batch=args.eval_batch,
-        )
+        h, w = image.shape[:2]
+        # device-resident stitching when the (H,W,K) fp32 accumulator fits
+        # comfortably in HBM (~8k^2 at K=12): the scene uploads once, only
+        # the uint8 class map returns (the host path fetches 32 MB of fp32
+        # logits per tile — measured >90% of scene wall-clock on slow links)
+        acc_bytes = (h + args.tile) * (w + args.tile) * n_classes * 4
+        if not args.int8 and acc_bytes <= 2 << 30:
+            from ..evallib.tiled import predict_scene_device
+            from ..ops.resize import resize_bilinear
+
+            def apply_fn(variables, tiles):
+                lg = model.apply(variables, tiles, train=False)
+                return resize_bilinear(lg.astype(jnp.float32),
+                                       (args.tile, args.tile),
+                                       align_corners=True)
+
+            pred = predict_scene_device(
+                apply_fn, evaluator.variables, image.astype(np.float32),
+                n_classes, tile=args.tile, overlap=args.overlap,
+                batch=args.eval_batch)
+        else:
+            _, pred = predict_scene(
+                predict_batch, image.astype(np.float32), n_classes,
+                tile=args.tile, overlap=args.overlap, batch=args.eval_batch,
+            )
         out = os.path.join(args.output, os.path.basename(path))
         write_pred_tiff(out, pred, cmap, profile_from=path)
         logger.info(f"{path} {image.shape[:2]} -> {out}")

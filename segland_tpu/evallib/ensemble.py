@@ -54,12 +54,22 @@ class EnsembleEvaluator:
         return img
 
     def _fwd(self, member_vars, img, out_h, out_w):
-        acc = None
+        # bilinear upsampling is linear, so summation commutes with it:
+        # group members by their native logit resolution and upsample each
+        # group's SUM once (3 same-res members -> one [B,out,out,K] resize
+        # instead of three; exactness preserved)
+        by_res = {}
         for apply_fn, variables in zip(self._apply_fns, member_vars):
             logits = apply_fn(variables, self._pre(img), train=False)
-            logits = resize_bilinear(logits.astype(jnp.float32),
-                                     (out_h, out_w), align_corners=True)
-            acc = logits if acc is None else acc + logits
+            res = logits.shape[1:3]
+            prev = by_res.get(res)
+            lf = logits.astype(jnp.float32)
+            by_res[res] = lf if prev is None else prev + lf
+        acc = None
+        for res, summed in by_res.items():
+            up = (summed if res == (out_h, out_w) else
+                  resize_bilinear(summed, (out_h, out_w), align_corners=True))
+            acc = up if acc is None else acc + up
         return jnp.argmax(acc, axis=-1).astype(jnp.uint8)
 
     def _predict_fn(self, member_vars, img, out_h, out_w):
@@ -72,18 +82,24 @@ class EnsembleEvaluator:
                             out_specs=P("data"), check_rep=False)
         return fwd(member_vars, img)
 
-    def predict_batch(self, images: np.ndarray, out_hw):
-        b = images.shape[0]
-        target = self.mesh.devices.size if self.mesh is not None else b
-        pad = (-b) % target
-        if pad:
-            images = np.concatenate(
-                [images, np.zeros((pad,) + images.shape[1:], images.dtype)], 0)
-        img = jnp.asarray(images)
-        if self.mesh is not None:
-            from ..dist import shard_batch
+    def predict_batch(self, images, out_hw):
+        """images: host [B,H,W,3] array, or a pre-staged (device_images, b)
+        tuple (same contract as Evaluator.predict_batch)."""
+        if isinstance(images, tuple):
+            img, b = images
+            pad = img.shape[0] - b
+        else:
+            b = images.shape[0]
+            target = self.mesh.devices.size if self.mesh is not None else b
+            pad = (-b) % target
+            if pad:
+                images = np.concatenate(
+                    [images, np.zeros((pad,) + images.shape[1:], images.dtype)], 0)
+            img = jnp.asarray(images)
+            if self.mesh is not None:
+                from ..dist import shard_batch
 
-            img = shard_batch(self.mesh, img)
+                img = shard_batch(self.mesh, img)
         member_vars = tuple(v for _, v in self.members)
         pred = self._predict(member_vars, img, int(out_hw[0]), int(out_hw[1]))
         return pred[:b] if pad else pred

@@ -56,3 +56,36 @@ def test_device_normalize_matches_host():
     lg_host, pred_host = host.predict_batch(img_f.astype(np.float32), (32, 32))
     lg_dev, pred_dev = dev.predict_batch(img_u8, (32, 32))
     np.testing.assert_allclose(np.asarray(lg_dev), np.asarray(lg_host), rtol=1e-4, atol=1e-4)
+
+
+def test_predict_scene_device_matches_host(rng):
+    """Device-resident stitching (scan + dynamic-slice accumulator) ==
+    host predict_scene on the same scene/model (overlap averaging, edge
+    snapping, ragged last batch all exercised)."""
+    import jax
+    import jax.numpy as jnp
+
+    from segland_tpu.evallib.tiled import predict_scene, predict_scene_device
+    from segland_tpu.models import build_model
+    from segland_tpu.ops.resize import resize_bilinear
+
+    tile, overlap = 64, 16
+    model = build_model("pspnet_pop", backbone="resnet10", n_base=7)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, tile, tile, 3), jnp.float32),
+                           train=False)
+    scene = rng.rand(150, 130, 3).astype(np.float32)
+
+    def apply_fn(variables, tiles):
+        lg = model.apply(variables, tiles, train=False)
+        return resize_bilinear(lg.astype(jnp.float32), (tile, tile),
+                               align_corners=True)
+
+    fwd = jax.jit(apply_fn)
+    _, pred_host = predict_scene(lambda t: fwd(variables, jnp.asarray(t)),
+                                 scene, num_classes=8, tile=tile,
+                                 overlap=overlap, batch=3)
+    pred_dev = predict_scene_device(apply_fn, variables, scene, num_classes=8,
+                                    tile=tile, overlap=overlap, batch=3)
+    agree = float(np.mean(pred_host == pred_dev))
+    assert agree >= 0.999, agree
