@@ -68,7 +68,8 @@ def add_common_args(p: argparse.ArgumentParser):
                         "training vs ImageNet-stats val/ft, dataset/oem.py:26 "
                         "vs base_dataset.py); 'train' makes the whole "
                         "pipeline consistent (controlled experiments)")
-    p.add_argument("--fused", action="store_true",
+    p.add_argument("--fused", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="Pallas fused LN+MLP and attention-section kernels in "
                         "transformer backbones (swin/convnext). fp32: exact "
                         "on the XLA fallback, bf16-MXU-rounding deltas on "
@@ -126,6 +127,27 @@ def add_train_args(p: argparse.ArgumentParser):
                         "tiles (reference oem_ft.py filter_intersection; "
                         "no-op for the base oem dataset, as upstream)")
     return p
+
+
+# Measured per-family fused-kernel defaults (BASELINE.md round-5 fused A/B
+# and round-4 ft re-measure).  Base train: convnext wins 1.10-1.12x; swin
+# LOSES with the v2-era kernels (129.4 -> 145.2 ms/step); lsk null.  Ft:
+# swin wins 1.21x (29.6 vs 35.7 ms/step, forward-dominated frozen-backbone
+# profile).  Eval stays opt-in (--fused).
+TRAIN_FUSED_DEFAULTS = {"convnext_pop": True}
+FT_FUSED_DEFAULTS = {"swin_pop": True}
+
+
+def resolve_fused(args, mode: str = "eval") -> bool:
+    """Resolve the tri-state --fused flag: explicit wins; None takes the
+    measured per-family default for the given mode ('train'/'ft'/'eval')."""
+    if args.fused is not None:
+        return bool(args.fused)
+    if mode == "train":
+        return TRAIN_FUSED_DEFAULTS.get(args.model, False)
+    if mode == "ft":
+        return FT_FUSED_DEFAULTS.get(args.model, False)
+    return False
 
 
 def parse_hw(s: str):

@@ -12,7 +12,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .common import add_common_args, parse_hw, model_dtype, str2bool
+from .common import add_common_args, parse_hw, model_dtype, str2bool, resolve_fused
 from ..data import OEMValDataset, Loader
 from ..models import build_model
 from ..evallib import Evaluator
@@ -79,6 +79,7 @@ def _load_variables(args, model, crop, seed, logger):
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
+    args.fused = resolve_fused(args, "eval")
     logger = get_logger()
     crop = parse_hw(args.base_size)
     n_base = args.base_classes

@@ -13,7 +13,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .common import add_common_args, add_train_args, str2bool, parse_hw, model_dtype
+from .common import add_common_args, add_train_args, str2bool, parse_hw, model_dtype, resolve_fused
 from ..data import OEMFtTrainDataset, OEMValDataset, Loader
 from ..models import build_model
 from ..train import create_optimizer, create_train_state, make_ft_train_step
@@ -38,6 +38,7 @@ def get_parser():
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
+    args.fused = resolve_fused(args, "ft")
     logger = prep_experiment(args.snapshot_dir, rank=jax.process_index())
     crop = parse_hw(args.input_size)
     base_size = parse_hw(args.base_size)

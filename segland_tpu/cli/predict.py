@@ -11,7 +11,7 @@ import os
 import numpy as np
 import jax.numpy as jnp
 
-from .common import add_common_args, model_dtype
+from .common import add_common_args, model_dtype, resolve_fused
 from .eval_base import _load_variables
 from ..models import build_model
 from ..quant import QuantConfig
@@ -39,6 +39,7 @@ def get_parser():
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
+    args.fused = resolve_fused(args, "eval")
     logger = get_logger()
     model = build_model(
         args.model, backbone=args.backbone, n_base=args.base_classes,

@@ -13,7 +13,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .common import add_common_args, add_train_args, parse_hw, model_dtype
+from .common import add_common_args, add_train_args, parse_hw, model_dtype, resolve_fused
 from ..data import DATASETS, Loader
 from ..models import build_model
 from ..train import create_optimizer, create_train_state, make_base_train_step
@@ -56,6 +56,7 @@ def get_parser():
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
+    args.fused = resolve_fused(args, "train")
     writer = None
     if args.metrics:
         writer, logger = prep_experiment(args.snapshot_dir,
