@@ -34,13 +34,17 @@ class EnsembleEvaluator:
     def __init__(self, members: Sequence, num_classes: int = 12,
                  n_base: int = 7, ignore_label: int = 255, mesh=None,
                  normalize_on_device: bool = False,
-                 mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225)):
+                 mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
+                 fused_epilogue: bool = None):
         self.members = list(members)
         self.num_classes = num_classes
         self.n_base = n_base
         self.ignore_label = ignore_label
         self.mesh = mesh
         self.normalize_on_device = normalize_on_device
+        if fused_epilogue is None:
+            fused_epilogue = jax.default_backend() == "tpu"
+        self._fused_epilogue = fused_epilogue
         self._mean = jnp.asarray(mean, jnp.float32)
         self._std = jnp.asarray(std, jnp.float32)
         self._apply_fns = [m.apply for m, _ in self.members]
@@ -65,6 +69,17 @@ class EnsembleEvaluator:
             prev = by_res.get(res)
             lf = logits.astype(jnp.float32)
             by_res[res] = lf if prev is None else prev + lf
+        if self._fused_epilogue and len(by_res) == 1:
+            # single-resolution ensemble (the common case: same-stride
+            # members): the summed map takes the fused upsample+argmax
+            # Pallas pass — the [B,out,out,K] fp32 tensor never exists
+            from ..ops.fused_epilogue import (upsample_argmax,
+                                              upsample_argmax_supported)
+
+            (res, summed), = by_res.items()
+            if (res != (out_h, out_w)
+                    and upsample_argmax_supported(summed.shape, (out_h, out_w))):
+                return upsample_argmax(summed, (out_h, out_w))
         acc = None
         for res, summed in by_res.items():
             up = (summed if res == (out_h, out_w) else
