@@ -136,6 +136,11 @@ def add_train_args(p: argparse.ArgumentParser):
 # profile).  Eval stays opt-in (--fused).
 TRAIN_FUSED_DEFAULTS = {"convnext_pop": True}
 FT_FUSED_DEFAULTS = {"swin_pop": True}
+# Eval: fused is the measured serving config for both transformer families
+# (convnext 255 vs ~150 t/s unfused; swin 95.3 vs 46.0 — BASELINE.md) and
+# the on-chip trained-model gate measured dmIoU 0.000 / 100% argmax
+# agreement for the fused Mosaic path (round 5), so the default follows.
+EVAL_FUSED_DEFAULTS = {"convnext_pop": True, "swin_pop": True}
 
 
 def resolve_fused(args, mode: str = "eval") -> bool:
@@ -147,7 +152,7 @@ def resolve_fused(args, mode: str = "eval") -> bool:
         return TRAIN_FUSED_DEFAULTS.get(args.model, False)
     if mode == "ft":
         return FT_FUSED_DEFAULTS.get(args.model, False)
-    return False
+    return EVAL_FUSED_DEFAULTS.get(args.model, False)
 
 
 def parse_hw(s: str):
