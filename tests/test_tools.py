@@ -110,3 +110,48 @@ def test_ensemble_evaluator_matches_fusemat_semantics(tmp_path, rng):
         acc = lg if acc is None else acc + lg
     ref = (acc / len(members)).argmax(-1).astype(np.uint8)
     np.testing.assert_array_equal(pred, ref)
+
+
+def test_ensemble_eval_cli(tmp_path):
+    """cli.ensemble_eval end to end on tiny synthetic data: two members
+    (fresh inits saved as checkpoints), labeled arm returns mIoU dict and
+    writes the ensemble cmatrix; members spec parsing + ckpt loading +
+    device fusion all exercised."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from segland_tpu.ckpt import save_params
+    from segland_tpu.cli.ensemble_eval import main
+    from segland_tpu.models import build_model
+
+    root = tmp_path / "data"
+    (root / "images").mkdir(parents=True)
+    (root / "labels").mkdir()
+    rng_ = np.random.RandomState(0)
+    ids = []
+    for i in range(2):
+        tid = f"t{i}"
+        Image.fromarray(rng_.randint(0, 255, (32, 32, 3), np.uint8)).save(
+            root / "images" / f"{tid}.tif")
+        Image.fromarray(rng_.randint(0, 8, (32, 32)).astype(np.uint8)).save(
+            root / "labels" / f"{tid}.tif")
+        ids.append(tid)
+    lst = root / "val.txt"
+    lst.write_text("\n".join(ids) + "\n")
+
+    specs = []
+    img0 = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    for seed in (0, 1):
+        model = build_model("pspnet_pop", backbone="resnet10", n_base=7)
+        variables = model.init(jax.random.PRNGKey(seed), img0, train=False)
+        ck = str(tmp_path / f"m{seed}.ckpt")
+        save_params(ck, jax.tree_util.tree_map(np.asarray, variables))
+        specs.append(f"pspnet_pop:resnet10:{ck}")
+
+    out = main(["--data-dir", str(root), "--val-list", str(lst),
+                "--members", ",".join(specs), "--base-size", "32,32",
+                "--num-classes", "8", "--num-workers", "0",
+                "--save-path", str(tmp_path / "out"), "--eval-batch", "2"])
+    assert 0.0 <= out["total"] <= 1.0 and out["tps"] > 0
+    assert os.path.exists(tmp_path / "out" / "cmatrix_ensemble.npy")
